@@ -1,0 +1,70 @@
+"""Implicit directional diffusion sweeps (K4/K5) — the shared engine under every
+ADI-based PDE layer variant.
+
+Reference semantics (SURVEY.md §2.1):
+  * ``diffuse_x_vectorized``  mnist_test.py:67-98, SVHN.py:88-124, cifar10.py:124-148
+  * ``diffuse_y_vectorized``  mnist_test.py:100-133, SVHN.py:126-165, cifar10.py:150-177
+
+One implicit backward-Euler sweep along an axis solves, per 1-D line,
+    (I - dt/dx²·diag(α)·Δ₁) u_new = u
+discretised as the tridiagonal system  a=-r, b=1+2r, c=-r  with  r = α·dt/dx²,
+and Neumann (no-flux) boundaries folded in as b[0]=1+r[0], b[-1]=1+r[-1]
+(mnist_test.py:92-93).
+
+TPU-first design: the reference reshapes to (B·H, W) and runs a python-loop Thomas
+(thousands of kernel launches).  Here the sweep is a single batched
+``tridiag_solve`` whose scan keeps the full row-batch vectorized per step; the
+y-sweep transposes the last two axes so the solve axis is always trailing
+(lane-contiguous).  Coefficients are batch-independent in every reference variant
+(expanded from an (H, W) or (C, H, W) field), so we keep them unexpanded and let
+broadcasting do the work — no (B·H, W) materialisation.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .smoothing import smooth3
+from .tridiag import tridiag_solve
+
+__all__ = ["sweep_x", "sweep_y", "sweep_last_axis"]
+
+
+def sweep_last_axis(u, coeff_field, dt, dx, *, smooth: bool, eps: float):
+    """One implicit diffusion sweep along the trailing axis.
+
+    u:           (..., N)   state lines
+    coeff_field: broadcastable to u's shape, e.g. (H, N) vs (B, H, N)
+    smooth:      apply the 3-tap replicate moving average (K6) along the sweep
+                 axis first (True for mnist/fashion/SVHN, False for both CIFAR
+                 variants — parity-relevant, SURVEY.md §2.1 K6).
+    eps:         stability eps added to every Thomas denominator, reproduced
+                 exactly as b+eps (see ops.tridiag docstring).
+    """
+    if smooth:
+        coeff_field = smooth3(coeff_field, axis=-1)
+    r = coeff_field * (dt / (dx * dx))
+    # Deliberately NOT broadcast to u's batch shape: the reference expands the
+    # (H, W) field to (B·H, W) (mnist_test.py:79), but the c*-chain of the Thomas
+    # forward elimination depends only on (a, b, c); keeping them batch-free lets
+    # the solver share one elimination chain across the whole batch.
+    a = -r
+    c = -r
+    b = 1.0 + 2.0 * r
+    b = b.at[..., 0].set(1.0 + r[..., 0])
+    b = b.at[..., -1].set(1.0 + r[..., -1])
+    return tridiag_solve(a, b + eps, c, u)
+
+
+def sweep_x(u, alpha, dt, dx, *, smooth: bool, eps: float):
+    """Sweep along the last axis (W) of (..., H, W) with α broadcast over batch."""
+    return sweep_last_axis(u, alpha, dt, dx, smooth=smooth, eps=eps)
+
+
+def sweep_y(u, beta, dt, dy, *, smooth: bool, eps: float):
+    """Sweep along the second-to-last axis (H): transpose, sweep, transpose back
+    (mnist_test.py:108-133)."""
+    u_t = jnp.swapaxes(u, -1, -2)
+    beta_t = jnp.swapaxes(beta, -1, -2)
+    out = sweep_last_axis(u_t, beta_t, dt, dy, smooth=smooth, eps=eps)
+    return jnp.swapaxes(out, -1, -2)

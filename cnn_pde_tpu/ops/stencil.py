@@ -1,0 +1,71 @@
+"""Explicit PDE time-step kernels (K7, K8).
+
+* ``ftcs_evolve`` — the emotion-recognition FTCS scheme (emotion_recognition.py:82-97):
+  reflect-pad applied ONCE before the Nt-step loop, so the 1-pixel boundary ring is
+  frozen at its initial reflected values for all subsequent steps (a latent quirk of
+  the reference that parity requires reproducing — SURVEY.md §2.7).
+
+* ``laplacian_step`` — the tiny-imagenet conv2d 5-point Laplacian explicit step
+  (tiny_imagenet.py:53-72): zero padding ⇒ implicit Dirichlet-0 exterior,
+  then u + coeff·dt·Δu per channel.
+
+Both are fully fused by XLA on TPU (elementwise + small depthwise conv); no Python
+loops survive tracing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["ftcs_evolve", "laplacian_step", "laplacian"]
+
+
+def ftcs_evolve(u: jnp.ndarray, alpha_grid: jnp.ndarray, beta_grid: jnp.ndarray,
+                nt: int) -> jnp.ndarray:
+    """Nt explicit FTCS steps on (B, H, W) with a one-time reflect-padded ring.
+
+    u[i,j] += alpha·(u[i+1,j] - 2u[i,j] + u[i-1,j]) + beta·(u[i,j+1] - 2u[i,j] + u[i,j-1])
+
+    ``alpha_grid``/``beta_grid`` are (H, W) (already folded with dt/dx² — see
+    emotion_recognition.py:77-80); broadcast over batch.
+    """
+    up = jnp.pad(u, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+
+    def body(up, _):
+        ui = up[:, 1:-1, 1:-1]
+        u_xx = up[:, 2:, 1:-1] - 2.0 * ui + up[:, :-2, 1:-1]
+        u_yy = up[:, 1:-1, 2:] - 2.0 * ui + up[:, 1:-1, :-2]
+        up = up.at[:, 1:-1, 1:-1].set(ui + alpha_grid * u_xx + beta_grid * u_yy)
+        return up, None
+
+    up, _ = lax.scan(body, up, None, length=nt)
+    return up[:, 1:-1, 1:-1]
+
+
+_LAPLACIAN_KERNEL = jnp.array(
+    [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], dtype=jnp.float32
+)
+
+
+def laplacian(u: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 5-point Laplacian with zero padding on NCHW input (B, C, H, W),
+    matching F.conv2d(laplacian_kernel, padding=1) at tiny_imagenet.py:69."""
+    C = u.shape[1]
+    kernel = jnp.broadcast_to(
+        _LAPLACIAN_KERNEL.astype(u.dtype)[None, None], (C, 1, 3, 3)
+    )
+    return lax.conv_general_dilated(
+        u,
+        kernel,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=C,
+    )
+
+
+def laplacian_step(u: jnp.ndarray, coeff: jnp.ndarray, dt: float) -> jnp.ndarray:
+    """u + coeff·dt·Δu with per-channel coeff (C,) — tiny_imagenet.py:66-72."""
+    return u + coeff[None, :, None, None] * dt * laplacian(u)

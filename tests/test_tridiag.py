@@ -1,0 +1,132 @@
+"""Unit tests for the batched Thomas solver (K1/K2 parity + gradients)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnn_pde_tpu.ops import (
+    thomas_solve_reference,
+    tridiag_solve,
+    tridiag_solve_scan,
+    tridiag_solve_unrolled,
+)
+
+
+def random_system(rng, batch, n, diag_dominant=True):
+    a = rng.standard_normal((batch, n)).astype(np.float32) * 0.3
+    c = rng.standard_normal((batch, n)).astype(np.float32) * 0.3
+    b = rng.standard_normal((batch, n)).astype(np.float32) * 0.1
+    if diag_dominant:
+        b = b + 2.0 + np.abs(a) + np.abs(c)
+    d = rng.standard_normal((batch, n)).astype(np.float32)
+    return a, b, c, d
+
+
+def dense_solve(a, b, c, d):
+    """Oracle: dense numpy solve of the same tridiagonal systems."""
+    batch, n = d.shape
+    out = np.zeros_like(d)
+    for k in range(batch):
+        T = np.zeros((n, n), dtype=np.float64)
+        for i in range(n):
+            T[i, i] = b[k, i]
+            if i > 0:
+                T[i, i - 1] = a[k, i]
+            if i < n - 1:
+                T[i, i + 1] = c[k, i]
+        out[k] = np.linalg.solve(T, d[k].astype(np.float64)).astype(np.float32)
+    return out
+
+
+@pytest.mark.parametrize("n", [4, 28, 32, 64])
+def test_matches_dense_solve(rng, n):
+    a, b, c, d = random_system(rng, 16, n)
+    x = np.asarray(tridiag_solve(a, b, c, d))
+    x_ref = dense_solve(a, b, c, d)
+    np.testing.assert_allclose(x, x_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_scan_matches_unrolled(rng):
+    a, b, c, d = random_system(rng, 8, 28)
+    x_scan = np.asarray(tridiag_solve_scan(a, b, c, d))
+    x_unr = np.asarray(tridiag_solve_unrolled(a, b, c, d))
+    np.testing.assert_allclose(x_scan, x_unr, rtol=1e-6, atol=1e-7)
+
+
+def test_eps_semantics_matches_reference_recurrence(rng):
+    """solve(a, b+eps, c, d) must equal the reference's eps-in-denominator
+    recurrence (mnist_test.py:169,177) run literally."""
+    eps = 1e-6
+    a, b, c, d = random_system(rng, 8, 28)
+
+    # Literal port of the reference recurrence as an oracle (float64).
+    a64, b64, c64, d64 = (v.astype(np.float64) for v in (a, b, c, d))
+    n = d.shape[-1]
+    cs = np.zeros_like(d64)
+    ds = np.zeros_like(d64)
+    cs[:, 0] = c64[:, 0] / (b64[:, 0] + eps)
+    ds[:, 0] = d64[:, 0] / (b64[:, 0] + eps)
+    for i in range(1, n):
+        denom = b64[:, i] - a64[:, i] * cs[:, i - 1] + eps
+        if i < n - 1:
+            cs[:, i] = c64[:, i] / denom
+        ds[:, i] = (d64[:, i] - a64[:, i] * ds[:, i - 1]) / denom
+    x_ref = np.zeros_like(d64)
+    x_ref[:, -1] = ds[:, -1]
+    for i in range(n - 2, -1, -1):
+        x_ref[:, i] = ds[:, i] - cs[:, i] * x_ref[:, i + 1]
+
+    x = np.asarray(thomas_solve_reference(a, b, c, d, eps=eps))
+    np.testing.assert_allclose(x, x_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_custom_vjp_matches_autodiff_through_scan(rng):
+    a, b, c, d = random_system(rng, 4, 16)
+
+    def loss_custom(a, b, c, d):
+        return jnp.sum(jnp.sin(tridiag_solve(a, b, c, d)))
+
+    def loss_scan(a, b, c, d):
+        return jnp.sum(jnp.sin(tridiag_solve_scan(a, b, c, d)))
+
+    g_custom = jax.grad(loss_custom, argnums=(0, 1, 2, 3))(a, b, c, d)
+    g_scan = jax.grad(loss_scan, argnums=(0, 1, 2, 3))(a, b, c, d)
+    for gc, gs, name in zip(g_custom, g_scan, "abcd"):
+        np.testing.assert_allclose(
+            np.asarray(gc), np.asarray(gs), rtol=2e-3, atol=2e-5,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_boundary_coeffs_get_zero_grad(rng):
+    """a[0] and c[N-1] sit outside the matrix: zero gradient, like the
+    reference's autograd through its recurrence."""
+    a, b, c, d = random_system(rng, 4, 8)
+    g = jax.grad(lambda a, c: jnp.sum(tridiag_solve(a, b, c, d) ** 2),
+                 argnums=(0, 1))(jnp.asarray(a), jnp.asarray(c))
+    assert np.all(np.asarray(g[0])[:, 0] == 0)
+    assert np.all(np.asarray(g[1])[:, -1] == 0)
+
+
+def test_broadcast_coefficients(rng):
+    """Batch-free (a,b,c) against batched d — the shared-elimination-chain path."""
+    a, b, c, _ = random_system(rng, 1, 24)
+    a, b, c = a[0], b[0], c[0]
+    d = rng.standard_normal((32, 24)).astype(np.float32)
+    x = np.asarray(tridiag_solve(a, b, c, d))
+    x_full = np.asarray(
+        tridiag_solve(
+            np.broadcast_to(a, d.shape).copy(),
+            np.broadcast_to(b, d.shape).copy(),
+            np.broadcast_to(c, d.shape).copy(),
+            d,
+        )
+    )
+    np.testing.assert_allclose(x, x_full, rtol=1e-6, atol=1e-7)
+
+    # gradient through broadcast path reduces correctly
+    ga = jax.grad(
+        lambda a: jnp.sum(tridiag_solve(a, b, c, d))
+    )(jnp.asarray(a))
+    assert ga.shape == a.shape
