@@ -1,0 +1,199 @@
+"""ADI diffusion layers (P1-P5): learnable anisotropic-diffusion PDE evolution.
+
+Five reference variants share one engine here, parameterized by splitting
+scheme, coefficient shape, smoothing, coupling and skip options
+(SURVEY.md §2.2):
+
+  P1 GrayscaleDiffusion   mnist_test.py:11-219    (size 28, dt 1e-3, 10 steps, Strang)
+  P2 GrayscaleDiffusion   fashion_mnist.py:18-196 (dt 0.3, 4 steps; y-sweep reuses dx)
+  P3 ChannelCoupledDiffusion  SVHN.py:12-230      (per-channel fields, coupling after
+                                                   sweeps, learnable sigmoid skip)
+  P4 MixedChannelDiffusion    cifar10.py:24-211   (mixing before sweeps, Strang,
+                                                   clamp [eps, 10], no smoothing)
+  P5 MixedChannelDiffusion    cifar_2version.py:20-187 (Lie splitting x(dt/2), y(dt/2))
+
+Time bookkeeping is reproduced exactly: coefficients are re-evaluated at
+t, t+dt/2, t+dt within each step; t advances by dt/2 after substeps 1 and 2 and
+never after substep 3 (mnist_test.py:50-63 — parity-relevant, SURVEY.md §2.7).
+
+TPU-first notes: every sweep is one batched tridiagonal solve (ops.adi) whose
+elimination chain is shared across the batch; the per-step Python loop unrolls
+at trace time (num_steps ≤ 10) into one fused XLA computation — versus the
+reference's ~2·N·steps separate kernel launches.  Channel mixing/coupling are
+small matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.core import Module
+from ..ops.adi import sweep_x, sweep_y
+
+__all__ = ["GrayscaleDiffusion", "ChannelCoupledDiffusion", "MixedChannelDiffusion"]
+
+
+def _coeff_at(base, time_coeff, t, eps, cmax=None):
+    """α(t) = clamp(α_base + α_time·t) — mnist_test.py:33-42; the CIFAR variants
+    additionally clamp above at 10.0 (cifar10.py:60-61)."""
+    c = base + time_coeff * t
+    return jnp.clip(c, eps, cmax) if cmax is not None else jnp.maximum(c, eps)
+
+
+class GrayscaleDiffusion(Module):
+    """P1/P2: single-channel ADI diffusion with per-pixel coefficient fields.
+
+    forward(u: (B, 1, H, W)) -> (B, 1, H, W); Strang splitting
+    x(dt/2) → y(dt) → x(dt/2) per step with time-dependent coefficients.
+    """
+
+    def __init__(self, size=28, dt=0.001, dx=1.0, dy=1.0, num_steps=10,
+                 init_value=2.0, eps=1e-6):
+        self.size = size
+        self.dt = dt
+        self.dx = dx
+        self.dy = dy
+        self.num_steps = num_steps
+        self.init_value = init_value
+        self.eps = eps
+
+    def init(self, key):
+        s = self.size
+        params = {
+            "alpha_base": jnp.full((s, s), self.init_value, jnp.float32),
+            "beta_base": jnp.full((s, s), self.init_value, jnp.float32),
+            "alpha_time_coeff": jnp.zeros((s, s), jnp.float32),
+            "beta_time_coeff": jnp.zeros((s, s), jnp.float32),
+        }
+        return params, {}
+
+    def apply(self, params, state, u, ctx):
+        x = u[:, 0]  # squeeze channel (mnist_test.py:46)
+        t = 0.0
+        for _ in range(self.num_steps):
+            alpha = _coeff_at(params["alpha_base"], params["alpha_time_coeff"], t, self.eps)
+            x = sweep_x(x, alpha, self.dt / 2, self.dx, smooth=True, eps=self.eps)
+            t += self.dt / 2
+            beta = _coeff_at(params["beta_base"], params["beta_time_coeff"], t, self.eps)
+            x = sweep_y(x, beta, self.dt, self.dy, smooth=True, eps=self.eps)
+            t += self.dt / 2
+            alpha = _coeff_at(params["alpha_base"], params["alpha_time_coeff"], t, self.eps)
+            x = sweep_x(x, alpha, self.dt / 2, self.dx, smooth=True, eps=self.eps)
+        return x[:, None], state
+
+    def stability_info(self, params):
+        """CFL diagnostic — mnist_test.py:200-219 (stable iff α·dt/dx² < 0.5)."""
+        horizon = self.dt * self.num_steps
+        alpha_max = jnp.max(params["alpha_base"] +
+                            jnp.abs(params["alpha_time_coeff"]) * horizon)
+        beta_max = jnp.max(params["beta_base"] +
+                           jnp.abs(params["beta_time_coeff"]) * horizon)
+        cfl_x = float(alpha_max * self.dt / self.dx**2)
+        cfl_y = float(beta_max * self.dt / self.dy**2)
+        return {
+            "cfl_x": cfl_x, "cfl_y": cfl_y,
+            "dx": self.dx, "dy": self.dy, "dt": self.dt,
+            "stable_x": cfl_x < 0.5, "stable_y": cfl_y < 0.5,
+        }
+
+
+class ChannelCoupledDiffusion(Module):
+    """P3 (SVHN): per-channel coefficient fields, Strang sweeps (y reuses dx —
+    SVHN.py:64), cross-channel coupling u ← u @ Cᵀ after each step's sweeps
+    (SVHN.py:68-86), and a final learnable sigmoid skip blend (SVHN.py:74)."""
+
+    def __init__(self, size=32, channels=3, dt=0.01, dx=1.0, num_steps=10, eps=1e-6):
+        self.size = size
+        self.channels = channels
+        self.dt = dt
+        self.dx = dx
+        self.num_steps = num_steps
+        self.eps = eps
+
+    def init(self, key):
+        s, C = self.size, self.channels
+        k1, k2 = jax.random.split(key)
+        params = {
+            "alpha_base": jnp.full((C, s, s), 0.1, jnp.float32),
+            "beta_base": jnp.full((C, s, s), 0.1, jnp.float32),
+            "alpha_time_coeff": jax.random.normal(k1, (C, s, s)) * 0.001,
+            "beta_time_coeff": jax.random.normal(k2, (C, s, s)) * 0.001,
+            "channel_coupling": jnp.eye(C, dtype=jnp.float32) * 0.01,
+            "skip_weight": jnp.asarray(0.9, jnp.float32),
+        }
+        return params, {}
+
+    def apply(self, params, state, u, ctx):
+        u0 = u
+        t = 0.0
+        for _ in range(self.num_steps):
+            alpha = _coeff_at(params["alpha_base"], params["alpha_time_coeff"], t, self.eps)
+            u = sweep_x(u, alpha, self.dt / 2, self.dx, smooth=True, eps=self.eps)
+            t += self.dt / 2
+            beta = _coeff_at(params["beta_base"], params["beta_time_coeff"], t, self.eps)
+            u = sweep_y(u, beta, self.dt, self.dx, smooth=True, eps=self.eps)
+            t += self.dt / 2
+            alpha = _coeff_at(params["alpha_base"], params["alpha_time_coeff"], t, self.eps)
+            u = sweep_x(u, alpha, self.dt / 2, self.dx, smooth=True, eps=self.eps)
+            # coupling: (B,C,H,W) pixels as rows × Cᵀ (SVHN.py:78-86)
+            u = jnp.einsum("bchw,kc->bkhw", u, params["channel_coupling"])
+        s = jax.nn.sigmoid(params["skip_weight"])
+        return s * u0 + (1.0 - s) * u, state
+
+
+class MixedChannelDiffusion(Module):
+    """P4/P5: per-channel fields with learnable channel mixing *before* the
+    sweeps each step (cifar10.py:91, cifar_2version.py:86).
+
+    splitting='strang' → x(dt/2), y(dt), x(dt/2)   (cifar10.py:94-110)
+    splitting='lie'    → x(dt/2), y(dt/2)          (cifar_2version.py:93-99)
+    No coefficient smoothing (parity: the CIFAR variants pass raw coefficients).
+    """
+
+    def __init__(self, size=32, channels=3, dt=0.001, dx=1.0, dy=1.0,
+                 num_steps=10, splitting="strang", eps=1e-6, clamp_max=10.0):
+        assert splitting in ("strang", "lie")
+        self.size = size
+        self.channels = channels
+        self.dt = dt
+        self.dx = dx
+        self.dy = dy
+        self.num_steps = num_steps
+        self.splitting = splitting
+        self.eps = eps
+        self.clamp_max = clamp_max
+
+    def init(self, key):
+        s, C = self.size, self.channels
+        params = {
+            "alpha_base": jnp.ones((C, s, s), jnp.float32),
+            "beta_base": jnp.ones((C, s, s), jnp.float32),
+            # torch.zeros(...)·0.1 is a no-op (cifar10.py:40-41) — plain zeros
+            "alpha_time_coeff": jnp.zeros((C, s, s), jnp.float32),
+            "beta_time_coeff": jnp.zeros((C, s, s), jnp.float32),
+            "channel_mixing": jnp.eye(C, dtype=jnp.float32)
+            + jax.random.normal(key, (C, C)) * 0.01,
+        }
+        return params, {}
+
+    def _mix(self, params, u):
+        """mixing @ u over the channel axis (cifar10.py:65-72)."""
+        return jnp.einsum("kc,bchw->bkhw", params["channel_mixing"], u)
+
+    def apply(self, params, state, u, ctx):
+        eps, cmax = self.eps, self.clamp_max
+        t = 0.0
+        for _ in range(self.num_steps):
+            u = self._mix(params, u)
+            alpha = _coeff_at(params["alpha_base"], params["alpha_time_coeff"], t, eps, cmax)
+            u = sweep_x(u, alpha, self.dt / 2, self.dx, smooth=False, eps=eps)
+            t += self.dt / 2
+            beta = _coeff_at(params["beta_base"], params["beta_time_coeff"], t, eps, cmax)
+            dt_y = self.dt if self.splitting == "strang" else self.dt / 2
+            u = sweep_y(u, beta, dt_y, self.dy, smooth=False, eps=eps)
+            t += self.dt / 2
+            if self.splitting == "strang":
+                alpha = _coeff_at(params["alpha_base"], params["alpha_time_coeff"], t, eps, cmax)
+                u = sweep_x(u, alpha, self.dt / 2, self.dx, smooth=False, eps=eps)
+        return u, state
