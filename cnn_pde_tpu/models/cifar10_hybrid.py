@@ -1,0 +1,135 @@
+"""CIFAR-10 hybrid PDE model (M8-M11): learnable diffusion + parabolic +
+Hamiltonian feature extraction, non-conv attention, deep FC head
+(cifar_2version.py:261-412)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..nn import (
+    AdaptiveAvgPool2d,
+    AdaptiveMaxPool2d,
+    BatchNorm,
+    Dropout,
+    Linear,
+    Module,
+    ReLU,
+    Sequential,
+)
+from ..pde import HamiltonianBlock, MixedChannelDiffusion, ParabolicBlock
+from .attention import NonConvSpatialAttention
+
+__all__ = ["HybridPDEExtractor", "HybridClassifierHead", "CIFAR10HybridPDEModel"]
+
+
+class HybridPDEExtractor(Module):
+    """M8 (cifar_2version.py:261-302): 2 Lie-splitting diffusion layers +
+    parabolic + Hamiltonian blocks, 4-way softmax combine, BN."""
+
+    def __init__(self, input_size=32, channels=3):
+        self.diffusion1 = MixedChannelDiffusion(input_size, channels, dt=0.001,
+                                                num_steps=8, splitting="lie")
+        self.diffusion2 = MixedChannelDiffusion(input_size, channels, dt=0.002,
+                                                num_steps=5, splitting="lie")
+        self.parabolic = ParabolicBlock(channels, input_size, num_steps=4, dt=0.5)
+        self.hamiltonian = HamiltonianBlock(channels, input_size, num_steps=3, dt=0.8)
+        self.feature_norm = BatchNorm(channels)
+
+    def init(self, key):
+        keys = jax.random.split(key, 5)
+        params, state = {}, {}
+        for name, mod, k in [
+            ("diffusion1", self.diffusion1, keys[0]),
+            ("diffusion2", self.diffusion2, keys[1]),
+            ("parabolic", self.parabolic, keys[2]),
+            ("hamiltonian", self.hamiltonian, keys[3]),
+            ("feature_norm", self.feature_norm, keys[4]),
+        ]:
+            params[name], state[name] = mod.init(k)
+        params["combination_weights"] = jnp.ones((4,), jnp.float32) / 4
+        return params, state
+
+    def apply(self, params, state, x, ctx):
+        new_state = {}
+        feats = []
+        for name, mod in [
+            ("diffusion1", self.diffusion1),
+            ("diffusion2", self.diffusion2),
+            ("parabolic", self.parabolic),
+            ("hamiltonian", self.hamiltonian),
+        ]:
+            f, new_state[name] = mod.apply(params[name], state[name], x, ctx)
+            feats.append(f)
+        w = jax.nn.softmax(params["combination_weights"])
+        combined = sum(w[i] * feats[i] for i in range(4))
+        combined, new_state["feature_norm"] = self.feature_norm.apply(
+            params["feature_norm"], state["feature_norm"], combined, ctx)
+        return combined, new_state
+
+
+class HybridClassifierHead(Module):
+    """M10 (cifar_2version.py:332-367): 384→1024→512→256→128→10 with BN and
+    dropout; the reference's ``dropout_rate // 2`` floor-divides the float 0.4
+    to 0.0, so the 4th block has NO dropout — replicated here for parity
+    (SURVEY.md §2.7)."""
+
+    def __init__(self, input_dim, num_classes=10, dropout_rate=0.4):
+        self.net = Sequential([
+            Linear(input_dim, 1024, weight_init="kaiming_normal"),
+            BatchNorm(1024), ReLU(), Dropout(dropout_rate),
+            Linear(1024, 512, weight_init="kaiming_normal"),
+            BatchNorm(512), ReLU(), Dropout(dropout_rate),
+            Linear(512, 256, weight_init="kaiming_normal"),
+            BatchNorm(256), ReLU(), Dropout(dropout_rate),
+            Linear(256, 128, weight_init="kaiming_normal"),
+            BatchNorm(128), ReLU(), Dropout(dropout_rate // 2),
+            Linear(128, num_classes, weight_init="kaiming_normal"),
+        ])
+
+    def init(self, key):
+        return self.net.init(key)
+
+    def apply(self, params, state, x, ctx):
+        return self.net.apply(params, state, x, ctx)
+
+
+class CIFAR10HybridPDEModel(Module):
+    """M11 (cifar_2version.py:370-412)."""
+
+    def __init__(self, dropout_rate=0.4):
+        self.feature_extractor = HybridPDEExtractor(32, 3)
+        self.attention = NonConvSpatialAttention(3, 32)
+        self.avg_pool = AdaptiveAvgPool2d(8)
+        self.max_pool = AdaptiveMaxPool2d(8)
+        self.feature_bn = BatchNorm(3)
+        self.classifier = HybridClassifierHead(384, 10, dropout_rate)
+
+    def init(self, key):
+        keys = jax.random.split(key, 4)
+        pe, se = self.feature_extractor.init(keys[0])
+        pa, sa = self.attention.init(keys[1])
+        pb, sb = self.feature_bn.init(keys[2])
+        pc, sc = self.classifier.init(keys[3])
+        return (
+            {"feature_extractor": pe, "attention": pa,
+             "feature_bn": pb, "classifier": pc},
+            {"feature_extractor": se, "attention": sa,
+             "feature_bn": sb, "classifier": sc},
+        )
+
+    def apply(self, params, state, x, ctx):
+        f, se = self.feature_extractor.apply(
+            params["feature_extractor"], state["feature_extractor"], x, ctx)
+        f, sa = self.attention.apply(
+            params["attention"], state["attention"], f, ctx)
+        f, sb = self.feature_bn.apply(
+            params["feature_bn"], state["feature_bn"], f, ctx)
+        avg, _ = self.avg_pool.apply({}, {}, f, ctx)
+        mx, _ = self.max_pool.apply({}, {}, f, ctx)
+        pooled = jnp.concatenate([avg, mx], axis=1)  # (B, 6, 8, 8)
+        flat = pooled.reshape(pooled.shape[0], -1)   # (B, 384)
+        y, sc = self.classifier.apply(
+            params["classifier"], state["classifier"], flat, ctx)
+        return y, {"feature_extractor": se, "attention": sa,
+                   "feature_bn": sb, "classifier": sc}
