@@ -1,0 +1,211 @@
+"""On-device batch augmentation (the sideband-A transforms, TPU-first).
+
+The reference augments per-image on CPU DataLoader workers (torchvision
+transforms, e.g. cifar10.py:372-380).  Here every augmentation is a pure JAX
+function vmapped over the batch and executed *inside* the jit'd train step, so
+it fuses with the forward pass and rides the same HBM-resident tensors —
+no host round-trip.
+
+Images are NCHW float32 in [0, 1] pre-normalization (ToTensor convention);
+``normalize`` applies (x − mean)/std per channel at the end, matching the
+torchvision pipelines' transform order.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.ndimage import map_coordinates
+
+__all__ = ["AugmentSpec", "build_augment_fn", "build_normalize_fn"]
+
+
+def _affine_warp(img, inv_matrix):
+    """Apply the inverse-affine (2×3) map to a (C, H, W) image, bilinear,
+    zero fill. Coordinates are centered (torch convention)."""
+    C, H, W = img.shape
+    ys = jnp.arange(H, dtype=jnp.float32) - (H - 1) / 2.0
+    xs = jnp.arange(W, dtype=jnp.float32) - (W - 1) / 2.0
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    src_x = inv_matrix[0, 0] * xx + inv_matrix[0, 1] * yy + inv_matrix[0, 2]
+    src_y = inv_matrix[1, 0] * xx + inv_matrix[1, 1] * yy + inv_matrix[1, 2]
+    coords_y = src_y + (H - 1) / 2.0
+    coords_x = src_x + (W - 1) / 2.0
+
+    def warp_channel(ch):
+        return map_coordinates(ch, [coords_y, coords_x], order=1, cval=0.0)
+
+    return jax.vmap(warp_channel)(img)
+
+
+def _rotate(rng, img, degrees):
+    angle = jax.random.uniform(rng, (), minval=-degrees, maxval=degrees)
+    rad = angle * math.pi / 180.0
+    c, s = jnp.cos(rad), jnp.sin(rad)
+    inv = jnp.array([[c, s, 0.0], [-s, c, 0.0]])
+    return _affine_warp(img, inv)
+
+
+def _translate(rng, img, max_frac):
+    _, H, W = img.shape
+    tx = jax.random.uniform(rng, (), minval=-max_frac, maxval=max_frac) * W
+    ty = jax.random.uniform(jax.random.fold_in(rng, 1), (),
+                            minval=-max_frac, maxval=max_frac) * H
+    inv = jnp.array([[1.0, 0.0, -tx], [0.0, 1.0, -ty]])
+    return _affine_warp(img, inv)
+
+
+def _hflip(rng, img, p=0.5):
+    flip = jax.random.bernoulli(rng, p)
+    return jnp.where(flip, img[:, :, ::-1], img)
+
+
+def _random_crop_pad(rng, img, padding):
+    C, H, W = img.shape
+    padded = jnp.pad(img, ((0, 0), (padding, padding), (padding, padding)))
+    ky, kx = jax.random.split(rng)
+    oy = jax.random.randint(ky, (), 0, 2 * padding + 1)
+    ox = jax.random.randint(kx, (), 0, 2 * padding + 1)
+    return jax.lax.dynamic_slice(padded, (0, oy, ox), (C, H, W))
+
+
+def _rgb_to_hsv(img):
+    r, g, b = img[0], img[1], img[2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(r == maxc, bc - gc,
+                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(delta == 0, 0.0, (h / 6.0) % 1.0)
+    return jnp.stack([h, s, v])
+
+
+def _hsv_to_rgb(img):
+    h, s, v = img[0], img[1], img[2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b])
+
+
+def _color_jitter(rng, img, brightness, contrast, saturation, hue):
+    ks = jax.random.split(rng, 4)
+    if brightness:
+        f = jax.random.uniform(ks[0], (), minval=1 - brightness, maxval=1 + brightness)
+        img = jnp.clip(img * f, 0.0, 1.0)
+    if contrast:
+        f = jax.random.uniform(ks[1], (), minval=1 - contrast, maxval=1 + contrast)
+        mean = jnp.mean(img, axis=(0, 1, 2) if img.shape[0] == 1 else (1, 2),
+                        keepdims=True).mean()
+        img = jnp.clip((img - mean) * f + mean, 0.0, 1.0)
+    if saturation and img.shape[0] == 3:
+        f = jax.random.uniform(ks[2], (), minval=1 - saturation, maxval=1 + saturation)
+        gray = (0.299 * img[0] + 0.587 * img[1] + 0.114 * img[2])[None]
+        img = jnp.clip(gray + (img - gray) * f, 0.0, 1.0)
+    if hue and img.shape[0] == 3:
+        dh = jax.random.uniform(ks[3], (), minval=-hue, maxval=hue)
+        hsv = _rgb_to_hsv(img)
+        hsv = hsv.at[0].set((hsv[0] + dh) % 1.0)
+        img = jnp.clip(_hsv_to_rgb(hsv), 0.0, 1.0)
+    return img
+
+
+def _random_erasing(rng, img, p=0.1, scale=(0.02, 0.33), ratio=(0.3, 3.3)):
+    """torch RandomErasing (single clamped attempt), value 0."""
+    C, H, W = img.shape
+    ks = jax.random.split(rng, 5)
+    apply = jax.random.bernoulli(ks[0], p)
+    area = H * W * jax.random.uniform(ks[1], (), minval=scale[0], maxval=scale[1])
+    log_ratio = jax.random.uniform(
+        ks[2], (), minval=math.log(ratio[0]), maxval=math.log(ratio[1]))
+    r = jnp.exp(log_ratio)
+    h = jnp.clip(jnp.round(jnp.sqrt(area * r)), 1, H).astype(jnp.int32)
+    w = jnp.clip(jnp.round(jnp.sqrt(area / r)), 1, W).astype(jnp.int32)
+    oy = jax.random.randint(ks[3], (), 0, H)
+    ox = jax.random.randint(ks[4], (), 0, W)
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    mask = (yy >= oy) & (yy < oy + h) & (xx >= ox) & (xx < ox + w)
+    erased = jnp.where(mask[None], 0.0, img)
+    return jnp.where(apply, erased, img)
+
+
+class AugmentSpec:
+    """Declarative augmentation pipeline (mirrors the torchvision Compose
+    chains per preset — D1-D4 in SURVEY.md §2.4)."""
+
+    def __init__(self, *, rotation=0.0, translate=0.0, hflip=0.0,
+                 crop_padding=0, brightness=0.0, contrast=0.0, saturation=0.0,
+                 hue=0.0, erasing_p=0.0,
+                 mean: Optional[Sequence[float]] = None,
+                 std: Optional[Sequence[float]] = None):
+        self.rotation = rotation
+        self.translate = translate
+        self.hflip = hflip
+        self.crop_padding = crop_padding
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = hue
+        self.erasing_p = erasing_p
+        self.mean = mean
+        self.std = std
+
+
+def build_augment_fn(spec: AugmentSpec) -> Callable:
+    """Returns augment(rng, batch NCHW in [0,1]) -> normalized batch, to be
+    called inside the jit'd train step."""
+
+    def augment_one(rng, img):
+        ks = jax.random.split(rng, 6)
+        if spec.crop_padding:
+            img = _random_crop_pad(ks[0], img, spec.crop_padding)
+        if spec.hflip:
+            img = _hflip(ks[1], img, spec.hflip)
+        if spec.rotation:
+            img = _rotate(ks[2], img, spec.rotation)
+        if spec.translate:
+            img = _translate(ks[3], img, spec.translate)
+        if spec.brightness or spec.contrast or spec.saturation or spec.hue:
+            img = _color_jitter(ks[4], img, spec.brightness, spec.contrast,
+                                spec.saturation, spec.hue)
+        return img, ks[5]
+
+    def augment(rng, batch):
+        rngs = jax.random.split(rng, batch.shape[0])
+        out, ks = jax.vmap(augment_one)(rngs, batch)
+        if spec.mean is not None:
+            mean = jnp.asarray(spec.mean, jnp.float32)[:, None, None]
+            std = jnp.asarray(spec.std, jnp.float32)[:, None, None]
+            out = (out - mean) / std
+        if spec.erasing_p:  # torchvision applies erasing after Normalize
+            out = jax.vmap(partial(_random_erasing, p=spec.erasing_p))(ks, out)
+        return out
+
+    return augment
+
+
+def build_normalize_fn(mean, std):
+    mean = jnp.asarray(mean, jnp.float32)[:, None, None]
+    std = jnp.asarray(std, jnp.float32)[:, None, None]
+
+    def normalize(batch):
+        return (batch - mean) / std
+
+    return normalize

@@ -1,0 +1,61 @@
+"""Host-side batching pipeline feeding device-resident epochs.
+
+The reference uses torch DataLoader worker processes (D1-D4).  On TPU the
+right shape is: keep the (small) datasets as pinned host numpy arrays, shuffle
+indices per epoch, slice fixed-shape batches (stable jit signatures), and let
+augmentation happen on device inside the train step.  Eval batches normalize
+on host (test transforms are deterministic: ToTensor + Normalize only).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["ArrayDataset"]
+
+
+class ArrayDataset:
+    """In-memory dataset of NCHW float32 images in [0, 1] + int labels."""
+
+    def __init__(self, train_images, train_labels, test_images, test_labels,
+                 *, mean: Optional[Sequence[float]] = None,
+                 std: Optional[Sequence[float]] = None,
+                 num_classes: Optional[int] = None):
+        self.train_images = np.ascontiguousarray(train_images, dtype=np.float32)
+        self.train_labels = np.ascontiguousarray(train_labels, dtype=np.int32)
+        self.test_images = np.ascontiguousarray(test_images, dtype=np.float32)
+        self.test_labels = np.ascontiguousarray(test_labels, dtype=np.int32)
+        self.mean = np.asarray(mean, np.float32) if mean is not None else None
+        self.std = np.asarray(std, np.float32) if std is not None else None
+        self.num_classes = num_classes or int(max(train_labels.max(),
+                                                  test_labels.max()) + 1)
+
+    def _normalize(self, images):
+        if self.mean is None:
+            return images
+        return (images - self.mean[:, None, None]) / self.std[:, None, None]
+
+    def train_batches(self, batch_size, seed=0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Shuffled fixed-shape batches; remainder dropped (stable jit shapes).
+        Raw [0,1] images — normalization happens in the on-device augment fn."""
+        n = self.train_images.shape[0]
+        perm = np.random.default_rng(seed).permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = perm[i : i + batch_size]
+            yield self.train_images[idx], self.train_labels[idx]
+
+    def eval_batches(self, batch_size, split="test"):
+        images = self.test_images if split == "test" else self.train_images
+        labels = self.test_labels if split == "test" else self.train_labels
+        n = images.shape[0]
+        for i in range(0, n, batch_size):
+            yield self._normalize(images[i : i + batch_size]), labels[i : i + batch_size]
+
+    @property
+    def steps_per_epoch(self):
+        return max(self.train_images.shape[0] // 1, 1)
+
+    def steps_for_batch(self, batch_size):
+        return max(self.train_images.shape[0] // batch_size, 1)

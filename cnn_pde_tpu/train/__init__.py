@@ -1,0 +1,28 @@
+"""L4 train/eval engine."""
+
+from .checkpoint import load_checkpoint, restore_state, save_checkpoint
+from .loop import TrainConfig, Trainer, TrainState, pde_param_stats
+from .losses import cross_entropy, hybrid_pde_regularization
+from .metrics import classification_report, confusion_matrix, per_class_accuracy
+from .optim import ParamGroup, build_optimizer
+from .schedules import constant, cosine_annealing, onecycle
+
+__all__ = [
+    "load_checkpoint",
+    "restore_state",
+    "save_checkpoint",
+    "TrainConfig",
+    "Trainer",
+    "TrainState",
+    "pde_param_stats",
+    "cross_entropy",
+    "hybrid_pde_regularization",
+    "classification_report",
+    "confusion_matrix",
+    "per_class_accuracy",
+    "ParamGroup",
+    "build_optimizer",
+    "constant",
+    "cosine_annealing",
+    "onecycle",
+]

@@ -1,0 +1,101 @@
+"""Training CLI — the L5 driver replacing the reference's __main__ blocks.
+
+    python -m cnn_pde_tpu.train --preset mnist [--synthetic] [--epochs N]
+        [--steps N] [--data-dir ./data] [--checkpoint-dir ckpt] [--resume]
+
+The reference has no flag/config system (SURVEY.md §5); this exposes every
+preset with overridable epochs/batch size and synthetic-data mode for smoke
+runs on machines without the real datasets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser(description="cnn_pde_tpu trainer")
+    ap.add_argument("--preset", required=True)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="force the synthetic fixture dataset")
+    ap.add_argument("--data-dir", default="./data")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="cap train steps per epoch (smoke runs)")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args()
+
+    from ..data import build_augment_fn, load_dataset
+    from ..models import MODEL_REGISTRY
+    from ..train import Trainer, pde_param_stats
+    from ..train.checkpoint import restore_state
+    from ..utils.config import get_preset
+
+    preset = get_preset(args.preset)
+    print(f"Preset: {preset.name}  backend: {jax.default_backend()} "
+          f"devices: {len(jax.devices())}")
+
+    dataset = load_dataset(preset.dataset, args.data_dir,
+                           synthetic_ok=True) if not args.synthetic else \
+        load_dataset(preset.dataset, "/nonexistent", synthetic_ok=True)
+    print(f"Dataset: {preset.dataset} ({dataset.source}), "
+          f"train {dataset.train_images.shape}, test {dataset.test_images.shape}")
+
+    epochs = args.epochs or preset.epochs
+    batch_size = args.batch_size or preset.batch_size
+    steps_per_epoch = dataset.steps_for_batch(batch_size)
+    if args.steps:
+        steps_per_epoch = min(steps_per_epoch, args.steps)
+
+    model = MODEL_REGISTRY[preset.model](**preset.model_kwargs)
+    schedule = preset.make_schedule(steps_per_epoch)
+    config = preset.make_train_config(epochs=epochs, batch_size=batch_size,
+                                      seed=args.seed)
+    augment_fn = build_augment_fn(preset.augment)
+    trainer = Trainer(model, config, schedule, augment_fn=augment_fn)
+
+    state = trainer.init_state(jax.random.PRNGKey(args.seed), None)
+    if args.resume and args.checkpoint_dir:
+        state = restore_state(state, args.checkpoint_dir, tag="best")
+        print(f"Resumed from step {state.step}")
+
+    if args.steps:
+        # cap batches per epoch by wrapping the dataset iterator
+        orig = dataset.train_batches
+
+        def capped(bs, seed=0):
+            for i, b in enumerate(orig(bs, seed=seed)):
+                if i >= args.steps:
+                    break
+                yield b
+
+        dataset.train_batches = capped
+
+    def stats_fn(params, epoch):
+        stats = pde_param_stats(params)
+        for name, s in list(stats.items())[:4]:
+            print(f"  {name}: μ={s['mean']:.3f} σ={s['std']:.3f} "
+                  f"range=[{s['min']:.3f}, {s['max']:.3f}]")
+
+    t0 = time.time()
+    result = trainer.fit(state, dataset, verbose=not args.quiet,
+                         checkpoint_dir=args.checkpoint_dir,
+                         param_stats_fn=stats_fn)
+    print(json.dumps({
+        "preset": preset.name,
+        "best_acc": result["best_acc"],
+        "wall_s": round(time.time() - t0, 2),
+        "epochs": len(result["history"]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

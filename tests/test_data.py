@@ -1,0 +1,139 @@
+"""Data pipeline + augmentation tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnn_pde_tpu.data import (
+    ArrayDataset,
+    AugmentSpec,
+    build_augment_fn,
+    load_dataset,
+    make_synthetic,
+)
+from cnn_pde_tpu.train.metrics import (
+    classification_report,
+    confusion_matrix,
+    per_class_accuracy,
+)
+
+
+def test_synthetic_determinism_and_shapes():
+    a = make_synthetic("cifar10", train_per_class=3, test_per_class=2)
+    b = make_synthetic("cifar10", train_per_class=3, test_per_class=2)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert a[0].shape == (30, 3, 32, 32)
+    assert a[0].min() >= 0.0 and a[0].max() <= 1.0
+    assert set(np.unique(a[1])) == set(range(10))
+
+
+def test_synthetic_tiny_imagenet_200_classes():
+    xs, ys, xt, yt = make_synthetic("tiny_imagenet", train_per_class=1,
+                                    test_per_class=1)
+    assert xs.shape == (200, 3, 64, 64)
+    assert len(np.unique(ys)) == 200
+
+
+def test_dataset_batching_fixed_shapes():
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=7, synthetic_test_per_class=3)
+    shapes = {b[0].shape for b in ds.train_batches(16, seed=0)}
+    assert shapes == {(16, 1, 28, 28)}
+    total = sum(b[1].shape[0] for b in ds.eval_batches(16))
+    assert total == ds.test_images.shape[0]
+
+
+def test_train_shuffle_differs_by_seed():
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True)
+    b0 = next(iter(ds.train_batches(32, seed=0)))[1]
+    b1 = next(iter(ds.train_batches(32, seed=1)))[1]
+    assert not np.array_equal(b0, b1)
+
+
+def test_augment_pipeline_preserves_shape_and_range(key):
+    spec = AugmentSpec(crop_padding=4, hflip=0.5, rotation=10.0,
+                       brightness=0.2, contrast=0.2, saturation=0.2, hue=0.1,
+                       erasing_p=0.5,
+                       mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25))
+    fn = build_augment_fn(spec)
+    batch = jnp.asarray(np.random.default_rng(0).random((8, 3, 32, 32),
+                                                        ).astype(np.float32))
+    out = fn(key, batch)
+    assert out.shape == batch.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # normalized range: (x - .5)/.25 ∈ [-2, 2]
+    assert np.asarray(out).min() >= -2.001 and np.asarray(out).max() <= 2.001
+    # deterministic per rng
+    out2 = fn(key, batch)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # different rng → different augmentation
+    out3 = fn(jax.random.PRNGKey(99), batch)
+    assert not np.array_equal(np.asarray(out), np.asarray(out3))
+
+
+def test_augment_hflip_statistics(key):
+    spec = AugmentSpec(hflip=1.0)
+    fn = build_augment_fn(spec)
+    batch = jnp.asarray(np.arange(2 * 1 * 4 * 4, dtype=np.float32)
+                        .reshape(2, 1, 4, 4) / 32.0)
+    out = np.asarray(fn(key, batch))
+    np.testing.assert_allclose(out, np.asarray(batch)[:, :, :, ::-1])
+
+
+def test_augment_inside_jit(key):
+    fn = build_augment_fn(AugmentSpec(rotation=5.0, translate=0.05))
+    batch = jnp.ones((4, 1, 28, 28))
+
+    @jax.jit
+    def step(rng, b):
+        return fn(rng, b).sum()
+
+    v = step(key, batch)
+    assert np.isfinite(float(v))
+
+
+def test_metrics():
+    labels = np.array([0, 0, 1, 1, 2, 2])
+    preds = np.array([0, 1, 1, 1, 2, 0])
+    cm = confusion_matrix(labels, preds, 3)
+    assert cm[0, 0] == 1 and cm[0, 1] == 1 and cm[2, 0] == 1
+    acc = per_class_accuracy(labels, preds, 3)
+    np.testing.assert_allclose(acc, [0.5, 1.0, 0.5])
+    rep = classification_report(labels, preds, 3)
+    assert abs(rep["accuracy"] - 4 / 6) < 1e-9
+    assert rep["1"]["recall"] == 1.0
+
+
+def test_real_loader_mnist_idx(tmp_path, rng):
+    """Write a tiny idx-format MNIST and load it through the real path."""
+    import gzip
+    import struct
+
+    raw = tmp_path / "MNIST" / "raw"
+    raw.mkdir(parents=True)
+
+    def write_images(name, arr):
+        with open(raw / name, "wb") as f:
+            f.write(struct.pack(">IIII", 2051, *arr.shape))
+            f.write(arr.tobytes())
+
+    def write_labels(name, arr):
+        with open(raw / name, "wb") as f:
+            f.write(struct.pack(">II", 2049, arr.shape[0]))
+            f.write(arr.tobytes())
+
+    xs = (rng.random((10, 28, 28)) * 255).astype(np.uint8)
+    ys = rng.integers(0, 10, 10).astype(np.uint8)
+    write_images("train-images-idx3-ubyte", xs)
+    write_labels("train-labels-idx1-ubyte", ys)
+    write_images("t10k-images-idx3-ubyte", xs[:4])
+    write_labels("t10k-labels-idx1-ubyte", ys[:4])
+
+    ds = load_dataset("mnist", str(tmp_path))
+    assert ds.source == "real"
+    assert ds.train_images.shape == (10, 1, 28, 28)
+    np.testing.assert_allclose(ds.train_images[0, 0],
+                               xs[0].astype(np.float32) / 255.0)
+    np.testing.assert_array_equal(ds.train_labels, ys.astype(np.int32))

@@ -1,0 +1,123 @@
+"""Train engine tests: losses/schedules vs torch oracles, optimizer groups,
+end-to-end loss decrease, checkpoint round-trip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnn_pde_tpu.data import load_dataset
+from cnn_pde_tpu.models import MNISTClassifier
+from cnn_pde_tpu.nn import Linear, param_path_items
+from cnn_pde_tpu.train import (
+    ParamGroup,
+    TrainConfig,
+    Trainer,
+    build_optimizer,
+    cross_entropy,
+    hybrid_pde_regularization,
+    restore_state,
+    save_checkpoint,
+)
+from cnn_pde_tpu.train.schedules import cosine_annealing, onecycle
+
+torch = pytest.importorskip("torch")
+
+
+def test_cross_entropy_matches_torch(rng):
+    logits = rng.standard_normal((16, 10)).astype(np.float32)
+    labels = rng.integers(0, 10, 16)
+    for ls in (0.0, 0.1):
+        ref = torch.nn.CrossEntropyLoss(label_smoothing=ls)(
+            torch.from_numpy(logits), torch.from_numpy(labels)).item()
+        out = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels), ls))
+        assert abs(out - ref) < 1e-5, (ls, out, ref)
+
+
+def test_cosine_schedule_matches_torch():
+    base, t_max = 0.002, 5
+    model = torch.nn.Linear(2, 2)
+    opt = torch.optim.AdamW(model.parameters(), lr=base)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=t_max)
+    ref = []
+    for _ in range(8):
+        ref.append(opt.param_groups[0]["lr"])
+        sched.step()
+    f = cosine_annealing(base, t_max, steps_per_epoch=10)
+    ours = [float(f(e * 10 + 3)) for e in range(8)]
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_onecycle_schedule_matches_torch():
+    total = 100
+    model = torch.nn.Linear(2, 2)
+    opt = torch.optim.AdamW(model.parameters(), lr=0.01)
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=0.01, total_steps=total, pct_start=0.3,
+        anneal_strategy="cos")
+    ref = []
+    for _ in range(total):
+        ref.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sched.step()
+    f = onecycle(0.01, total, pct_start=0.3)
+    ours = [float(f(s)) for s in range(total)]
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=1e-5)
+
+
+def test_param_group_lr_scaling(key):
+    """α-group must receive full LR, the default ('rest') group scaled LR —
+    mirrors cifar10.py:431-434."""
+    params = {"alpha_base": jnp.ones((4,)), "w": jnp.ones((4,))}
+    grads = {"alpha_base": jnp.ones((4,)), "w": jnp.ones((4,))}
+    opt = build_optimizer(params, lambda s: 1e-1,
+                          groups=(ParamGroup(("alpha",), 1.0, 0.0),),
+                          default_weight_decay=0.0, default_lr_scale=0.5,
+                          clip_norm=None)
+    st = opt.init(params)
+    updates, _ = opt.update(grads, st, params)
+    # AdamW first step: update magnitude ≈ lr·scale
+    a, w = abs(float(updates["alpha_base"][0])), abs(float(updates["w"][0]))
+    assert abs(a - 0.1) < 0.01 and abs(w - 0.05) < 0.005
+
+
+def test_hybrid_regularizer_selects_paths(key):
+    params = {
+        "diff": {"alpha_base": jnp.ones((2, 2)),
+                 "channel_mixing": jnp.eye(2) * 2.0},
+        "combination_weights": jnp.asarray([1.0, -1.0]),
+        "parabolic": {"sym": {"K": {"w": jnp.ones((3, 3))}}},
+        "head": {"w": jnp.ones((5, 5))},
+    }
+    reg = float(hybrid_pde_regularization(params, alpha1=1.0, alpha2=1.0,
+                                          alpha3=1.0))
+    # alpha_base: 4·1=4; mixing: ‖2I−I‖²=2; weights L1: 2; K: 9; head: 0
+    assert abs(reg - (4 + 2 + 2 + 9)) < 1e-5
+
+
+def test_smoke_training_loss_decreases(key, tmp_path):
+    """5 steps of real training on synthetic MNIST must reduce loss."""
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=12, synthetic_test_per_class=4)
+    model = MNISTClassifier()
+    cfg = TrainConfig(epochs=3, batch_size=32, label_smoothing=0.1,
+                      log_every=1000)
+    trainer = Trainer(model, cfg, lambda s: 1e-3)
+    state = trainer.init_state(key, None)
+    h1 = trainer.train_epoch(state, ds, 0, verbose=False)
+    h3 = None
+    for e in (1, 2):
+        h3 = trainer.train_epoch(state, ds, e, verbose=False)
+    assert h3["loss"] < h1["loss"]
+    ev = trainer.evaluate(state, ds)
+    assert ev["acc"] > 15.0  # 10 classes, must beat chance after 3 epochs
+
+    # checkpoint round-trip
+    save_checkpoint(str(tmp_path), state, tag="best")
+    state2 = trainer.init_state(jax.random.PRNGKey(123), None)
+    restore_state(state2, str(tmp_path), tag="best")
+    ev2 = trainer.evaluate(state2, ds)
+    assert abs(ev2["acc"] - ev["acc"]) < 1e-6
+    assert state2.step == state.step
