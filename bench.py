@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: CIFAR-10 training throughput (images/sec/chip) on the flagship
+CIFAR10PDENoConv model — the BASELINE.md primary metric.
+
+Measures the full jit'd training step (on-device augmentation + forward +
+backward + grouped-AdamW update, reference batch size 64, cifar10.py:407) and
+prints ONE JSON line.
+
+Baseline provenance: the reference cifar10.py CIFAR10PDENoConv training step
+(torch CPU, batch 64, AdamW + clip, label smoothing 0.1) measured on this
+machine's CPU at 11.99 images/sec (5.34 s/step; a 50k-image epoch = 69.5 min)
+on 2026-08-16.  The reference has no GPU numbers (BASELINE.md); its only
+published figure is the 40-minute MNIST CPU epoch (mnist_test.py:1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+BASELINE_IMG_PER_SEC = 11.99  # reference torch-CPU, measured (see docstring)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--quick", action="store_true", help="fewer timing iters")
+    args = ap.parse_args()
+    if args.quick:
+        args.iters = 5
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cnn_pde_tpu.data import build_augment_fn
+    from cnn_pde_tpu.models import MODEL_REGISTRY
+    from cnn_pde_tpu.train import Trainer
+    from cnn_pde_tpu.utils.config import get_preset
+
+    preset = get_preset("cifar10_noconv")
+    model = MODEL_REGISTRY[preset.model]()
+    schedule = preset.make_schedule(steps_per_epoch=50_000 // args.batch_size)
+    config = preset.make_train_config(batch_size=args.batch_size)
+    trainer = Trainer(model, config, schedule,
+                      augment_fn=build_augment_fn(preset.augment))
+
+    state = trainer.init_state(jax.random.PRNGKey(0), None)
+    step_fn = trainer._make_train_step(state.params)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((args.batch_size, 3, 32, 32),
+                                    ).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 10, args.batch_size).astype(np.int32))
+    step_rng = jax.random.PRNGKey(1)
+
+    # compile + warmup
+    out = step_fn(state.params, state.model_state, state.opt_state, 0,
+                  images, labels, step_rng)
+    jax.block_until_ready(out)
+    params, mstate, ostate = out[0], out[1], out[2]
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        params, mstate, ostate, loss, acc = step_fn(
+            params, mstate, ostate, i + 1, images, labels,
+            jax.random.fold_in(step_rng, i))
+    jax.block_until_ready((params, loss))
+    dt = (time.perf_counter() - t0) / args.iters
+
+    img_per_sec = args.batch_size / dt
+    print(json.dumps({
+        "metric": "cifar10_train_images_per_sec_per_chip",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,17 @@
+"""Parallelism: device meshes, data parallelism, spatial sharding."""
+
+from .data_parallel import make_dp_train_step, replicate, shard_batch
+from .mesh import NamedSharding, P, dp_shardings, make_mesh
+from .spatial import adi_strang_step_spatial, ftcs_evolve_spatial
+
+__all__ = [
+    "make_dp_train_step",
+    "replicate",
+    "shard_batch",
+    "NamedSharding",
+    "P",
+    "dp_shardings",
+    "make_mesh",
+    "adi_strang_step_spatial",
+    "ftcs_evolve_spatial",
+]

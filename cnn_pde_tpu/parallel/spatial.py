@@ -1,0 +1,126 @@
+"""Spatial sharding for PDE evolution — the CNN analogue of sequence/context
+parallelism (SURVEY.md §2.6 item 2, §5).
+
+Two communication patterns, both riding ICI via XLA collectives under
+``jax.shard_map``:
+
+* **Halo exchange** for explicit stencils: the FTCS update of a row needs its
+  neighbors, so each step exchanges one boundary row with each neighbor shard
+  via ``lax.ppermute``.  The reference's frozen-reflect-ring semantics
+  (emotion_recognition.py:85) are preserved: the *global* pad ring keeps its
+  initial values; only interior shard boundaries refresh.
+
+* **all_to_all axis swap** for implicit ADI sweeps (the Ulysses-style
+  transpose): a tridiagonal solve is sequential along its sweep axis, so the
+  x-sweep runs with W local / H sharded, then one ``lax.all_to_all`` reshards
+  to H local / W sharded for the y-sweep, and one more swaps back.  The solve
+  itself never crosses devices — only two collectives per Strang substep pair.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.adi import sweep_last_axis
+
+__all__ = ["ftcs_evolve_spatial", "adi_strang_step_spatial"]
+
+AXIS = "spatial"
+
+
+def _ftcs_local(u, alpha, beta, nt, axis_name):
+    """shard_map body: u (B, Hl, W), alpha/beta (Hl, W); H sharded over
+    axis_name."""
+    S = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    B, Hl, W = u.shape
+
+    # --- initial padded block (B, Hl+2, W+2), reflect semantics globally ---
+    up = jnp.pad(u, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+    # Interior-shard halos must be neighbor rows, not local reflections.
+    # ppermute the initial edge rows (with W reflect pads applied):
+    rows_padded = jnp.pad(u, ((0, 0), (0, 0), (1, 1)), mode="reflect")
+    top_from_prev = lax.ppermute(rows_padded[:, -1], axis_name,
+                                 [(i, i + 1) for i in range(S - 1)])
+    bot_from_next = lax.ppermute(rows_padded[:, 0], axis_name,
+                                 [(i + 1, i) for i in range(S - 1)])
+    # Global edges keep the local reflect value (global row 1 / row H-2);
+    # interior edges take the neighbor's row.
+    up = up.at[:, 0].set(jnp.where(idx == 0, up[:, 0], top_from_prev))
+    up = up.at[:, -1].set(jnp.where(idx == S - 1, up[:, -1], bot_from_next))
+
+    def body(up, _):
+        ui = up[:, 1:-1, 1:-1]
+        u_xx = up[:, 2:, 1:-1] - 2.0 * ui + up[:, :-2, 1:-1]
+        u_yy = up[:, 1:-1, 2:] - 2.0 * ui + up[:, 1:-1, :-2]
+        new_real = ui + alpha * u_xx + beta * u_yy
+        up = up.at[:, 1:-1, 1:-1].set(new_real)
+        # refresh interior halos with the neighbors' current edge rows
+        top = lax.ppermute(up[:, -2], axis_name,
+                           [(i, i + 1) for i in range(S - 1)])
+        bot = lax.ppermute(up[:, 1], axis_name,
+                           [(i + 1, i) for i in range(S - 1)])
+        up = up.at[:, 0].set(jnp.where(idx == 0, up[:, 0], top))
+        up = up.at[:, -1].set(jnp.where(idx == S - 1, up[:, -1], bot))
+        return up, None
+
+    up, _ = lax.scan(body, up, None, length=nt)
+    return up[:, 1:-1, 1:-1]
+
+
+def ftcs_evolve_spatial(mesh: Mesh, u, alpha, beta, nt: int):
+    """FTCS evolution with H sharded over the mesh's 'spatial' axis.
+    u: (B, H, W) global; alpha/beta: (H, W) global."""
+    fn = jax.shard_map(
+        partial(_ftcs_local, nt=nt, axis_name=AXIS),
+        mesh=mesh,
+        in_specs=(P(None, AXIS, None), P(AXIS, None), P(AXIS, None)),
+        out_specs=P(None, AXIS, None),
+    )
+    return fn(u, alpha, beta)
+
+
+def _swap_h_to_w(x, axis_name):
+    """(.., Hl, W) → (.., H, Wl): all_to_all splits W, concatenates H."""
+    return lax.all_to_all(x, axis_name, split_axis=x.ndim - 1,
+                          concat_axis=x.ndim - 2, tiled=True)
+
+
+def _swap_w_to_h(x, axis_name):
+    return lax.all_to_all(x, axis_name, split_axis=x.ndim - 2,
+                          concat_axis=x.ndim - 1, tiled=True)
+
+
+def _adi_strang_local(u, alpha, beta, *, dt, dx, dy, smooth, eps, axis_name):
+    """One Strang step (x half, y full, x half) with H sharded: x-sweeps are
+    local; the y-sweep runs after an all_to_all axis swap."""
+    u = sweep_last_axis(u, alpha, dt / 2, dx, smooth=smooth, eps=eps)
+
+    u_sw = _swap_h_to_w(u, axis_name)          # (B, H, Wl)
+    beta_sw = _swap_h_to_w(beta, axis_name)    # (H, Wl)
+    u_t = jnp.swapaxes(u_sw, -1, -2)           # solve along H
+    beta_t = jnp.swapaxes(beta_sw, -1, -2)
+    u_t = sweep_last_axis(u_t, beta_t, dt, dy, smooth=smooth, eps=eps)
+    u = _swap_w_to_h(jnp.swapaxes(u_t, -1, -2), axis_name)
+
+    u = sweep_last_axis(u, alpha, dt / 2, dx, smooth=smooth, eps=eps)
+    return u
+
+
+def adi_strang_step_spatial(mesh: Mesh, u, alpha, beta, *, dt, dx=1.0, dy=1.0,
+                            smooth=False, eps=1e-6):
+    """One spatially-sharded Strang ADI step.
+    u: (B, H, W) global with H sharded; alpha/beta: (H, W) global."""
+    fn = jax.shard_map(
+        partial(_adi_strang_local, dt=dt, dx=dx, dy=dy, smooth=smooth,
+                eps=eps, axis_name=AXIS),
+        mesh=mesh,
+        in_specs=(P(None, AXIS, None), P(AXIS, None), P(AXIS, None)),
+        out_specs=P(None, AXIS, None),
+    )
+    return fn(u, alpha, beta)

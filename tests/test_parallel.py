@@ -1,0 +1,105 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: DP equivalence,
+halo-exchange FTCS vs unsharded, all_to_all ADI vs unsharded."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnn_pde_tpu.data import load_dataset
+from cnn_pde_tpu.models import MNISTClassifier
+from cnn_pde_tpu.ops import ftcs_evolve, sweep_x, sweep_y
+from cnn_pde_tpu.parallel import (
+    adi_strang_step_spatial,
+    ftcs_evolve_spatial,
+    make_dp_train_step,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from cnn_pde_tpu.train import build_optimizer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def test_mesh_shapes():
+    m = make_mesh(spatial=1)
+    assert m.devices.shape == (8, 1)
+    m2 = make_mesh(data=2, spatial=4)
+    assert m2.devices.shape == (2, 4)
+
+
+def test_ftcs_spatial_matches_unsharded(rng):
+    mesh = make_mesh(data=1, spatial=4)
+    B, H, W = 3, 48, 48
+    u = jnp.asarray(rng.standard_normal((B, H, W)).astype(np.float32))
+    alpha = jnp.asarray(rng.random((H, W)).astype(np.float32) * 0.1)
+    beta = jnp.asarray(rng.random((H, W)).astype(np.float32) * 0.1)
+
+    ref = ftcs_evolve(u, alpha, beta, nt=7)
+    out = ftcs_evolve_spatial(mesh, u, alpha, beta, nt=7)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("smooth", [False, True])
+def test_adi_spatial_matches_unsharded(rng, smooth):
+    mesh = make_mesh(data=1, spatial=4)
+    B, H, W = 2, 32, 32
+    dt, eps = 0.01, 1e-6
+    u = jnp.asarray(rng.standard_normal((B, H, W)).astype(np.float32))
+    alpha = jnp.asarray(rng.random((H, W)).astype(np.float32) + 0.2)
+    beta = jnp.asarray(rng.random((H, W)).astype(np.float32) + 0.2)
+
+    ref = sweep_x(u, alpha, dt / 2, 1.0, smooth=smooth, eps=eps)
+    ref = sweep_y(ref, beta, dt, 1.0, smooth=smooth, eps=eps)
+    ref = sweep_x(ref, alpha, dt / 2, 1.0, smooth=smooth, eps=eps)
+
+    out = adi_strang_step_spatial(mesh, u, alpha, beta, dt=dt,
+                                  smooth=smooth, eps=eps)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dp_train_step_matches_single_device(key):
+    """One DP step over 8 devices == one single-device step on the same batch."""
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=5, synthetic_test_per_class=2)
+    model = MNISTClassifier()
+    params, state = model.init(key)
+    opt = build_optimizer(params, lambda s: 1e-3, clip_norm=1.0)
+    opt_state = opt.init(params)
+
+    images, labels = next(iter(ds.train_batches(16, seed=0)))
+    images, labels = jnp.asarray(images), jnp.asarray(labels)
+    rng = jax.random.PRNGKey(0)
+
+    # single-device reference (dropout has a fixed rng → deterministic)
+    from cnn_pde_tpu.nn import Ctx
+    from cnn_pde_tpu.train import cross_entropy
+    import optax
+
+    def loss_fn(p):
+        logits, new_state = model.apply(p, state, images,
+                                        Ctx(train=True, rng=rng))
+        return cross_entropy(logits, labels, 0.1), new_state
+
+    (loss_ref, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, _ = opt.update(grads, opt_state, params)
+    params_ref = optax.apply_updates(params, updates)
+
+    mesh = make_mesh(spatial=1)  # 8-way DP
+    step = make_dp_train_step(model, opt, mesh, label_smoothing=0.1)
+    p_r = replicate(mesh, params)
+    s_r = replicate(mesh, state)
+    o_r = replicate(mesh, opt_state)
+    imgs_s, labels_s = shard_batch(mesh, (images, labels))
+    new_params, _, _, loss = step(p_r, s_r, o_r, imgs_s, labels_s, rng)
+
+    assert abs(float(loss) - float(loss_ref)) < 1e-5
+    # first-step AdamW divides by sqrt(v)+eps with v≈0, amplifying benign
+    # grad reduction-order noise; 5e-5 on params is the realistic bound
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), new_params, params_ref)
+    assert max(jax.tree_util.tree_leaves(diff)) < 5e-5
