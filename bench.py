@@ -65,8 +65,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(args.iters):
         params, mstate, ostate, loss, acc = step_fn(
-            params, mstate, ostate, i + 1, images, labels,
-            jax.random.fold_in(step_rng, i))
+            params, mstate, ostate, i + 1, images, labels, step_rng)
     jax.block_until_ready((params, loss))
     dt = (time.perf_counter() - t0) / args.iters
 

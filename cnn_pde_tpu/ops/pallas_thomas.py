@@ -1,0 +1,141 @@
+"""Fused Pallas TPU kernel for the batched Thomas solve.
+
+The XLA scan implementation pays a while-loop iteration overhead per recurrence
+step (2N dispatches through the loop machinery); PCR trades that for ~6× the
+FLOPs.  This kernel runs the exact Thomas recurrence with the whole row-tile
+resident in VMEM: one kernel launch per sweep, forward elimination and back
+substitution as fori_loops over rows of a (N, TILE) block — the recurrence
+axis sits on sublanes so every step is one lane-wide VPU op.
+
+Layout: callers hold (..., N) row-major lines; we reshape to (R, N), transpose
+to (N, R) (one XLA relayout each way), pad R to the lane tile, and grid over
+row tiles.  The custom VJP solves the transposed system with the same kernel
+(same analytic adjoint as ops.tridiag).
+
+Numerics: identical recurrence to tridiag_solve_scan ⇒ identical results up to
+fma ordering (≪1e-6); the b+eps reference-parity convention is unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pallas_tridiag_solve"]
+
+TILE = 512  # lanes per program (4 × 128)
+
+
+def _thomas_kernel(a_ref, b_ref, c_ref, d_ref, out_ref, cs_ref, ds_ref):
+    N = a_ref.shape[0]
+    cs_ref[0, :] = c_ref[0, :] / b_ref[0, :]
+    ds_ref[0, :] = d_ref[0, :] / b_ref[0, :]
+
+    def fwd(i, _):
+        denom = b_ref[i, :] - a_ref[i, :] * cs_ref[i - 1, :]
+        inv = 1.0 / denom
+        cs_ref[i, :] = c_ref[i, :] * inv
+        ds_ref[i, :] = (d_ref[i, :] - a_ref[i, :] * ds_ref[i - 1, :]) * inv
+        return 0
+
+    lax.fori_loop(1, N, fwd, 0)
+    out_ref[N - 1, :] = ds_ref[N - 1, :]
+
+    def bwd(k, _):
+        i = N - 2 - k
+        out_ref[i, :] = ds_ref[i, :] - cs_ref[i, :] * out_ref[i + 1, :]
+        return 0
+
+    lax.fori_loop(0, N - 1, bwd, 0)
+
+
+def _solve_2d(a, b, c, d, *, interpret=False):
+    """Solve on (N, R) column-major lines; R padded to TILE."""
+    N, R = d.shape
+    R_pad = -(-R // TILE) * TILE
+    if R_pad != R:
+        pad = [(0, 0), (0, R_pad - R)]
+        a = jnp.pad(a, pad)
+        c = jnp.pad(c, pad)
+        d = jnp.pad(d, pad)
+        b = jnp.pad(b, pad, constant_values=1.0)  # benign identity rows
+
+    grid = (R_pad // TILE,)
+    spec = pl.BlockSpec((N, TILE), lambda j: (0, j), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _thomas_kernel,
+        grid=grid,
+        in_specs=[spec] * 4,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((N, R_pad), d.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((N, TILE), jnp.float32),
+            pltpu.VMEM((N, TILE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a, b, c, d)
+    return out[:, :R]
+
+
+def _solve(a, b, c, d, *, interpret=False):
+    shape = d.shape
+    N = shape[-1]
+    a = jnp.broadcast_to(a, shape).reshape(-1, N).T
+    b = jnp.broadcast_to(b, shape).reshape(-1, N).T
+    c = jnp.broadcast_to(c, shape).reshape(-1, N).T
+    d2 = d.reshape(-1, N).T
+    x = _solve_2d(a, b, c, d2, interpret=interpret)
+    return x.T.reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def pallas_tridiag_solve(a, b, c, d, interpret=False):
+    """Drop-in alternative to ops.tridiag.tridiag_solve backed by the fused
+    kernel.  ``interpret=True`` runs the Pallas interpreter (CPU tests)."""
+    return _solve(a, b, c, d, interpret=interpret)
+
+
+def _fwd(a, b, c, d, interpret):
+    x = _solve(a, b, c, d, interpret=interpret)
+    return x, (a, b, c, d, x)
+
+
+def _bwd(interpret, res, g):
+    a, b, c, d, x = res
+    shape = d.shape
+    ab = jnp.broadcast_to(a, shape)
+    bb = jnp.broadcast_to(b, shape)
+    cb = jnp.broadcast_to(c, shape)
+    a_t = jnp.concatenate([jnp.zeros_like(cb[..., :1]), cb[..., :-1]], axis=-1)
+    c_t = jnp.concatenate([ab[..., 1:], jnp.zeros_like(ab[..., :1])], axis=-1)
+    lam = _solve(a_t, bb, c_t, g, interpret=interpret)
+    grad_d = lam
+    grad_b = -lam * x
+    grad_a = jnp.concatenate(
+        [jnp.zeros_like(x[..., :1]), -lam[..., 1:] * x[..., :-1]], axis=-1)
+    grad_c = jnp.concatenate(
+        [-lam[..., :-1] * x[..., 1:], jnp.zeros_like(x[..., :1])], axis=-1)
+
+    def _reduce_like(grad, ref):
+        if grad.shape == ref.shape:
+            return grad
+        axes = tuple(
+            i for i, (gs, rs) in enumerate(zip(grad.shape[::-1],
+                                               ref.shape[::-1]))
+            if rs == 1 and gs != 1)
+        grad = jnp.sum(grad, axis=axes, keepdims=True)
+        extra = grad.ndim - ref.ndim
+        if extra:
+            grad = jnp.sum(grad, axis=tuple(range(extra)))
+        return jnp.reshape(grad, ref.shape)
+
+    return (_reduce_like(grad_a, a), _reduce_like(grad_b, b),
+            _reduce_like(grad_c, c), grad_d)
+
+
+pallas_tridiag_solve.defvjp(_fwd, _bwd)

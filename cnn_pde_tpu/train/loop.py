@@ -114,7 +114,12 @@ class Trainer:
             return loss, (new_state, acc)
 
         @jax.jit
-        def train_step(params, model_state, opt_state, step, images, labels, rng):
+        def train_step(params, model_state, opt_state, step, images, labels,
+                       base_rng):
+            # Derive the per-step rng ON DEVICE: an eager host-side fold_in
+            # costs a full host↔device round trip per batch (~90 ms over the
+            # axon tunnel) — 100× the step itself.
+            rng = jax.random.fold_in(base_rng, step)
             if augment is not None:
                 rng, arng = jax.random.split(rng)
                 images = augment(arng, images)
@@ -148,24 +153,25 @@ class Trainer:
         if self._train_step is None:
             self._train_step = self._make_train_step(state.params)
         t0 = time.time()
-        total_loss, total_acc, batches = 0.0, 0.0, 0
+        base_rng = jax.random.PRNGKey(cfg.seed)
+        losses, accs = [], []  # device scalars — fetched once at epoch end
         for bi, (images, labels) in enumerate(
                 dataset.train_batches(cfg.batch_size, seed=cfg.seed + epoch)):
-            rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)
             (state.params, state.model_state, state.opt_state, loss, acc) = \
                 self._train_step(state.params, state.model_state,
                                  state.opt_state, state.step,
-                                 jnp.asarray(images), jnp.asarray(labels), rng)
+                                 images, labels, base_rng)
             state.step += 1
-            batches += 1
-            total_loss += float(loss)
-            total_acc += float(acc)
+            losses.append(loss)
+            accs.append(acc)
             if verbose and bi % cfg.log_every == 0:
                 print(f"Epoch {epoch+1}, Batch {bi}, Loss: {float(loss):.4f}, "
                       f"Acc: {100.0*float(acc):.2f}%")
+        jax.block_until_ready(state.params)
         dt = time.time() - t0
-        avg_loss = total_loss / max(batches, 1)
-        avg_acc = 100.0 * total_acc / max(batches, 1)
+        batches = len(losses)
+        avg_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        avg_acc = 100.0 * float(jnp.mean(jnp.stack(accs))) if accs else 0.0
         if verbose:
             print(f"Epoch {epoch+1} - Loss: {avg_loss:.4f}, "
                   f"Train Acc: {avg_acc:.2f}%, Time: {dt:.2f}s")
@@ -174,16 +180,18 @@ class Trainer:
     def evaluate(self, state: TrainState, dataset, *, split="test"):
         if self._eval_step is None:
             self._eval_step = self._make_eval_step()
-        correct, total = 0, 0
-        preds, labels_all = [], []
+        total = 0
+        corrects, preds, labels_all = [], [], []  # device values, fetched once
         for images, labels in dataset.eval_batches(self.config.eval_bs,
                                                    split=split):
             c, pred = self._eval_step(state.params, state.model_state,
                                       jnp.asarray(images), jnp.asarray(labels))
-            correct += int(c)
+            corrects.append(c)
             total += labels.shape[0]
-            preds.append(np.asarray(pred))
+            preds.append(pred)
             labels_all.append(np.asarray(labels))
+        correct = int(np.sum(jax.device_get(corrects))) if corrects else 0
+        preds = [np.asarray(p) for p in preds]
         acc = 100.0 * correct / max(total, 1)
         return {"acc": acc,
                 "predictions": np.concatenate(preds) if preds else np.array([]),

@@ -1,0 +1,84 @@
+"""Post-training analysis — the evaluate_and_visualize family (A1-A4).
+
+Re-implements the reference's printed diagnostics as returned data structures
+(print-friendly), and optional matplotlib panels:
+  * CFL stability report                       (mnist_test.py:200-219, 276-279)
+  * coefficient time-evolution statistics      (mnist_test.py:381-387)
+  * anisotropy analysis α/dx² vs β/dy²         (mnist_test.py:389-398)
+  * per-class accuracy table                   (fashion_mnist.py:341-368)
+  * channel-coupling matrix norm               (SVHN.py:401-402)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..train.metrics import classification_report, confusion_matrix, per_class_accuracy
+
+__all__ = [
+    "cfl_report",
+    "coefficient_time_evolution",
+    "anisotropy_analysis",
+    "evaluation_summary",
+    "coupling_strength",
+]
+
+
+def cfl_report(alpha_base, alpha_time, beta_base, beta_time, *, dt, dx, dy,
+               num_steps):
+    """CFL-like stability check: stable iff max(coeff)·dt/dh² < 0.5."""
+    horizon = dt * num_steps
+    alpha_max = float(np.max(np.asarray(alpha_base)
+                             + np.abs(np.asarray(alpha_time)) * horizon))
+    beta_max = float(np.max(np.asarray(beta_base)
+                            + np.abs(np.asarray(beta_time)) * horizon))
+    cfl_x = alpha_max * dt / dx**2
+    cfl_y = beta_max * dt / dy**2
+    return {"cfl_x": cfl_x, "cfl_y": cfl_y,
+            "stable_x": cfl_x < 0.5, "stable_y": cfl_y < 0.5,
+            "dt": dt, "dx": dx, "dy": dy}
+
+
+def coefficient_time_evolution(alpha_base, alpha_time, beta_base, beta_time,
+                               *, dt, num_steps, points=5, eps=1e-6):
+    """Coefficient statistics at `points` times across the evolution horizon."""
+    rows = []
+    for t in np.linspace(0.0, num_steps * dt, points):
+        a = np.maximum(np.asarray(alpha_base) + np.asarray(alpha_time) * t, eps)
+        b = np.maximum(np.asarray(beta_base) + np.asarray(beta_time) * t, eps)
+        rows.append({"t": float(t),
+                     "alpha_mean": float(a.mean()), "alpha_std": float(a.std()),
+                     "beta_mean": float(b.mean()), "beta_std": float(b.std())})
+    return rows
+
+
+def anisotropy_analysis(alpha_final, beta_final, *, dx, dy):
+    """Effective diffusion rates and anisotropy ratio (mnist_test.py:389-398)."""
+    ex = np.asarray(alpha_final) / dx**2
+    ey = np.asarray(beta_final) / dy**2
+    return {
+        "effective_x_mean": float(ex.mean()), "effective_x_std": float(ex.std()),
+        "effective_y_mean": float(ey.mean()), "effective_y_std": float(ey.std()),
+        "anisotropy_ratio": float(ex.mean() / ey.mean()),
+    }
+
+
+def coupling_strength(channel_matrix):
+    """Frobenius norm of the channel coupling/mixing matrix (SVHN.py:401-402)."""
+    return float(np.linalg.norm(np.asarray(channel_matrix)))
+
+
+def evaluation_summary(labels, predictions, num_classes, class_names=None):
+    """Accuracy + per-class accuracy + confusion matrix + full report —
+    the data behind A2/A3/A4's prints and heatmaps."""
+    labels = np.asarray(labels)
+    predictions = np.asarray(predictions)
+    return {
+        "accuracy": float((labels == predictions).mean()) * 100.0,
+        "per_class_accuracy": per_class_accuracy(labels, predictions,
+                                                 num_classes).tolist(),
+        "confusion_matrix": confusion_matrix(labels, predictions,
+                                             num_classes).tolist(),
+        "report": classification_report(labels, predictions, num_classes,
+                                        class_names),
+    }

@@ -11,6 +11,7 @@ from cnn_pde_tpu.ops import (
     tridiag_solve_scan,
     tridiag_solve_unrolled,
 )
+from cnn_pde_tpu.ops.tridiag import set_default_impl, tridiag_solve_pcr
 
 
 def random_system(rng, batch, n, diag_dominant=True):
@@ -107,6 +108,53 @@ def test_boundary_coeffs_get_zero_grad(rng):
                  argnums=(0, 1))(jnp.asarray(a), jnp.asarray(c))
     assert np.all(np.asarray(g[0])[:, 0] == 0)
     assert np.all(np.asarray(g[1])[:, -1] == 0)
+
+
+@pytest.mark.parametrize("n", [4, 7, 28, 32, 64])
+def test_pcr_matches_scan(rng, n):
+    """Cyclic reduction solves the identical system: agreement to float32
+    roundoff (~1e-6), far inside the 1e-5 parity budget."""
+    a, b, c, d = random_system(rng, 32, n)
+    x_scan = np.asarray(tridiag_solve_scan(a, b, c, d))
+    x_pcr = np.asarray(tridiag_solve_pcr(a, b, c, d))
+    np.testing.assert_allclose(x_pcr, x_scan, rtol=1e-5, atol=2e-6)
+
+
+def test_pcr_mode_layer_parity(rng, key):
+    """A full PDE layer under impl='pcr' must still match the float64 golden
+    oracle at 1e-5 (the activation-parity budget)."""
+    import jax.numpy as jnp
+
+    from cnn_pde_tpu.pde import GrayscaleDiffusion
+    from tests.golden import reference_numpy as refnp
+
+    layer = GrayscaleDiffusion(size=28, dt=0.001, num_steps=10, init_value=2.0)
+    params, state = layer.init(key)
+    u = rng.random((2, 1, 28, 28)).astype(np.float32)
+    prev = set_default_impl("pcr")
+    try:
+        out, _ = layer(params, state, jnp.asarray(u))
+    finally:
+        set_default_impl(prev)
+    golden = refnp.grayscale_forward_np(
+        u, {k: np.asarray(v) for k, v in params.items()}, 0.001, 1.0, 1.0, 10)
+    np.testing.assert_allclose(np.asarray(out), golden, rtol=1e-5, atol=1e-5)
+
+
+def test_pcr_gradient_matches_scan_gradient(rng):
+    a, b, c, d = random_system(rng, 8, 16)
+
+    def loss(d, impl):
+        prev = set_default_impl(impl)
+        try:
+            return jnp.sum(jnp.sin(tridiag_solve(a, b, c, d)))
+        finally:
+            set_default_impl(prev)
+
+    g_scan = jax.grad(lambda d: loss(d, "scan"))(jnp.asarray(d))
+    g_pcr = jax.grad(lambda d: loss(d, "pcr"))(jnp.asarray(d))
+    np.testing.assert_allclose(np.asarray(g_pcr), np.asarray(g_scan),
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_broadcast_coefficients(rng):
