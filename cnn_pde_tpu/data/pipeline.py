@@ -13,7 +13,23 @@ from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["ArrayDataset"]
+__all__ = ["ArrayDataset", "balance_classes"]
+
+
+def balance_classes(images, labels):
+    """Truncate every class to the size of the smallest one, keeping original
+    order — the EmotionDataset balancing option
+    (emotion_recognition.py:131-150)."""
+    labels = np.asarray(labels)
+    counts = np.bincount(labels)
+    min_count = counts[counts > 0].min()
+    keep = np.zeros(len(labels), dtype=bool)
+    seen = np.zeros(counts.shape[0], dtype=np.int64)
+    for i, lab in enumerate(labels):
+        if seen[lab] < min_count:
+            keep[i] = True
+            seen[lab] += 1
+    return images[keep], labels[keep]
 
 
 class ArrayDataset:

@@ -20,7 +20,7 @@ import struct
 
 import numpy as np
 
-from .pipeline import ArrayDataset
+from .pipeline import ArrayDataset, balance_classes
 from .synthetic import make_synthetic
 
 __all__ = ["load_dataset", "NORMALIZATION"]
@@ -189,9 +189,12 @@ _PRESENCE = {
 
 
 def load_dataset(name, data_dir="./data", *, synthetic_ok=True,
-                 synthetic_train_per_class=20, synthetic_test_per_class=5):
+                 synthetic_train_per_class=20, synthetic_test_per_class=5,
+                 balance=False):
     """Return an ArrayDataset for ``name``; falls back to the deterministic
-    synthetic fixture when the real files are absent."""
+    synthetic fixture when the real files are absent.  ``balance`` truncates
+    every training class to the smallest class size (the EmotionDataset
+    option, emotion_recognition.py:101,131-150)."""
     mean, std = NORMALIZATION[name]
     marker = os.path.join(data_dir, _PRESENCE[name])
     if os.path.exists(marker):
@@ -204,6 +207,8 @@ def load_dataset(name, data_dir="./data", *, synthetic_ok=True,
         source = "synthetic"
     else:
         raise FileNotFoundError(f"{name} not found under {data_dir}")
+    if balance:
+        xs, ys = balance_classes(xs, ys)
     ds = ArrayDataset(xs, ys, xt, yt, mean=mean, std=std)
     ds.source = source
     return ds

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--dp", action="store_true",
+                    help="data-parallel over all visible devices")
     args = ap.parse_args()
 
     from ..data import build_augment_fn, load_dataset
@@ -60,7 +62,13 @@ def main():
     config = preset.make_train_config(epochs=epochs, batch_size=batch_size,
                                       seed=args.seed)
     augment_fn = build_augment_fn(preset.augment)
-    trainer = Trainer(model, config, schedule, augment_fn=augment_fn)
+    mesh = None
+    if args.dp:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(spatial=1)
+        print(f"Data parallel over {mesh.devices.size} devices")
+    trainer = Trainer(model, config, schedule, augment_fn=augment_fn, mesh=mesh)
 
     state = trainer.init_state(jax.random.PRNGKey(args.seed), None)
     if args.resume and args.checkpoint_dir:

@@ -69,13 +69,19 @@ class TrainState:
 
 class Trainer:
     def __init__(self, model: Module, config: TrainConfig, schedule,
-                 augment_fn: Optional[Callable] = None):
+                 augment_fn: Optional[Callable] = None, mesh=None):
         """augment_fn(rng, images) -> images, applied on device inside the
-        jit'd train step (train batches only)."""
+        jit'd train step (train batches only).
+
+        mesh: optional jax.sharding.Mesh with a 'data' axis — enables
+        data-parallel training (batch sharded, params replicated, gradient
+        all-reduce inserted by XLA).  The reference is single-device
+        (SURVEY.md §2.6); this is the drop-in DP upgrade."""
         self.model = model
         self.config = config
         self.schedule = schedule
         self.augment_fn = augment_fn
+        self.mesh = mesh
         self._train_step = None
         self._eval_step = None
 
@@ -113,7 +119,6 @@ class Trainer:
             acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
             return loss, (new_state, acc)
 
-        @jax.jit
         def train_step(params, model_state, opt_state, step, images, labels,
                        base_rng):
             # Derive the per-step rng ON DEVICE: an eager host-side fold_in
@@ -129,7 +134,19 @@ class Trainer:
             new_params = optax.apply_updates(params, updates)
             return new_params, new_state, new_opt_state, loss, acc
 
-        return train_step
+        # Donate params/model_state/opt_state: they're consumed and replaced
+        # every step, so XLA can update in place (halves parameter HBM traffic).
+        if self.mesh is not None:
+            from ..parallel.mesh import dp_shardings
+
+            batch_s, rep_s = dp_shardings(self.mesh)
+            return jax.jit(
+                train_step,
+                in_shardings=(rep_s, rep_s, rep_s, None, batch_s, batch_s, None),
+                out_shardings=(rep_s, rep_s, rep_s, rep_s, rep_s),
+                donate_argnums=(0, 1, 2),
+            )
+        return jax.jit(train_step, donate_argnums=(0, 1, 2))
 
     def _make_eval_step(self):
         model = self.model

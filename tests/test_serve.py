@@ -1,0 +1,66 @@
+"""Serving path tests: jit'd predict fn, export/reload round-trip, DP trainer,
+class balancing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnn_pde_tpu.data import load_dataset
+from cnn_pde_tpu.data.pipeline import balance_classes
+from cnn_pde_tpu.models import MNISTClassifier
+from cnn_pde_tpu.serve import export_model, load_exported, make_predict_fn
+from cnn_pde_tpu.train import TrainConfig, Trainer
+
+
+def test_predict_fn_modes(rng, key):
+    model = MNISTClassifier()
+    params, state = model.init(key)
+    x = jnp.asarray(rng.random((4, 1, 28, 28)).astype(np.float32))
+    logits = make_predict_fn(model, params, state)(x)
+    probs = make_predict_fn(model, params, state, output="probs")(x)
+    labels = make_predict_fn(model, params, state, output="labels")(x)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(labels),
+                                  np.asarray(logits).argmax(-1))
+
+
+def test_export_reload_round_trip(rng, key, tmp_path):
+    model = MNISTClassifier()
+    params, state = model.init(key)
+    x = jnp.asarray(rng.random((2, 1, 28, 28)).astype(np.float32))
+    ref = make_predict_fn(model, params, state)(x)
+
+    path = str(tmp_path / "model.stablehlo")
+    export_model(model, params, state, x, path)
+    restored = load_exported(path)
+    out = restored(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_balance_classes():
+    labels = np.array([0, 0, 0, 1, 1, 2, 0, 2, 2, 2])
+    images = np.arange(10, dtype=np.float32)[:, None]
+    bi, bl = balance_classes(images, labels)
+    assert np.bincount(bl).tolist() == [2, 2, 2]
+    # original order preserved: first two of each class
+    assert bi[:2].ravel().tolist() == [0.0, 1.0]
+
+
+def test_trainer_with_mesh(key):
+    from cnn_pde_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=10, synthetic_test_per_class=4)
+    mesh = make_mesh(spatial=1)
+    trainer = Trainer(MNISTClassifier(),
+                      TrainConfig(epochs=1, batch_size=16, log_every=10**9),
+                      lambda s: 1e-3, mesh=mesh)
+    state = trainer.init_state(key, None)
+    stats = trainer.train_epoch(state, ds, 0, verbose=False)
+    assert np.isfinite(stats["loss"])
+    ev = trainer.evaluate(state, ds)
+    assert 0.0 <= ev["acc"] <= 100.0
