@@ -4,7 +4,11 @@ augmentation."""
 from .augment import AugmentSpec, build_augment_fn, build_normalize_fn
 from .pipeline import ArrayDataset
 from .real import NORMALIZATION, load_dataset
-from .synthetic import SYNTHETIC_SPECS, make_synthetic
+from .synthetic import (
+    SYNTHETIC_SPECS,
+    make_synthetic,
+    write_synthetic_tiny_imagenet,
+)
 
 __all__ = [
     "AugmentSpec",
@@ -15,4 +19,5 @@ __all__ = [
     "load_dataset",
     "SYNTHETIC_SPECS",
     "make_synthetic",
+    "write_synthetic_tiny_imagenet",
 ]

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["make_synthetic", "SYNTHETIC_SPECS"]
+__all__ = ["make_synthetic", "write_synthetic_tiny_imagenet", "SYNTHETIC_SPECS"]
 
 SYNTHETIC_SPECS = {
     # name: (channels, size, num_classes)
@@ -99,3 +99,34 @@ def make_synthetic(name, *, train_per_class=20, test_per_class=5, seed=0):
     train = build(train_per_class, 0)
     test = build(test_per_class, 10_000)
     return train[0], train[1], test[0], test[1]
+
+
+def write_synthetic_tiny_imagenet(root_dir, *, num_classes=200,
+                                  train_per_class=20, val_total=1000):
+    """Materialize the synthetic dataset in the on-disk tiny-imagenet-200
+    layout the reference writes (tiny_imagenet.py:350-391): per-class train
+    image dirs plus val/images + val_annotations.txt — so the folder-loading
+    path can be exercised without the real download."""
+    import os
+
+    from PIL import Image
+
+    base = os.path.join(root_dir, "tiny-imagenet-200")
+    for c in range(num_classes):
+        class_id = f"n{c:08d}"
+        cdir = os.path.join(base, "train", class_id, "images")
+        os.makedirs(cdir, exist_ok=True)
+        for j in range(train_per_class):
+            img = _pattern_image(64, 3, c, j, num_classes)
+            Image.fromarray(img).save(os.path.join(cdir, f"{class_id}_{j}.JPEG"))
+
+    val_dir = os.path.join(base, "val", "images")
+    os.makedirs(val_dir, exist_ok=True)
+    with open(os.path.join(base, "val", "val_annotations.txt"), "w") as f:
+        for i in range(val_total):
+            c = i % num_classes
+            class_id = f"n{c:08d}"
+            img = _pattern_image(64, 3, c, i + 1000, num_classes)
+            Image.fromarray(img).save(os.path.join(val_dir, f"val_{i}.JPEG"))
+            f.write(f"val_{i}.JPEG\t{class_id}\t0\t0\t64\t64\n")
+    return base

@@ -106,6 +106,22 @@ def test_metrics():
     assert rep["1"]["recall"] == 1.0
 
 
+def test_tiny_imagenet_disk_fixture_and_folder_loader(tmp_path):
+    """Write the reference's on-disk layout (tiny_imagenet.py:350-391) and
+    load it back through the real folder-loading path."""
+    from cnn_pde_tpu.data import write_synthetic_tiny_imagenet
+
+    write_synthetic_tiny_imagenet(str(tmp_path), num_classes=5,
+                                  train_per_class=3, val_total=10)
+    ds = load_dataset("tiny_imagenet", str(tmp_path))
+    assert ds.source == "real"
+    assert ds.train_images.shape == (15, 3, 64, 64)
+    assert ds.test_images.shape == (10, 3, 64, 64)
+    assert set(np.unique(ds.train_labels)) == set(range(5))
+    # val_annotations mapping is respected: label i%5 for the i-th val image
+    assert ds.test_labels.tolist() == [i % 5 for i in range(10)]
+
+
 def test_real_loader_mnist_idx(tmp_path, rng):
     """Write a tiny idx-format MNIST and load it through the real path."""
     import gzip
