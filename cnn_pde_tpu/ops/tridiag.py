@@ -107,12 +107,13 @@ def tridiag_solve_pcr(a, b, c, d):
     recurrence holds at ≤1e-5 (tested).
     """
     N = d.shape[-1]
-    a = jnp.broadcast_to(a, d.shape)
-    b = jnp.broadcast_to(b, d.shape)
-    c = jnp.broadcast_to(c, d.shape)
-    # a[0] and c[N-1] sit outside the matrix
-    a = a.at[..., 0].set(0.0)
-    c = c.at[..., -1].set(0.0)
+    # The coefficient reduction is batch-independent whenever (a, b, c) are
+    # broadcast against a batched d (every ADI sweep in this codebase): keep
+    # them at their natural shape so only the d-update runs at batch size —
+    # ~2.5× less HBM traffic per level.
+    a = jnp.asarray(a).at[..., 0].set(0.0)   # a[0] sits outside the matrix
+    b = jnp.asarray(b)
+    c = jnp.asarray(c).at[..., -1].set(0.0)  # c[N-1] sits outside the matrix
 
     def shift_right(x, s, fill):
         # x[i-s], out-of-range -> fill
@@ -126,10 +127,8 @@ def tridiag_solve_pcr(a, b, c, d):
     levels = max(1, (N - 1).bit_length())
     s = 1
     for _ in range(levels):
-        b_m = shift_right(b, s, 1.0)
-        b_p = shift_left(b, s, 1.0)
-        alpha = -a / b_m
-        gamma = -c / b_p
+        alpha = -a / shift_right(b, s, 1.0)
+        gamma = -c / shift_left(b, s, 1.0)
         a_new = alpha * shift_right(a, s, 0.0)
         c_new = gamma * shift_left(c, s, 0.0)
         b_new = b + alpha * shift_right(c, s, 0.0) + gamma * shift_left(a, s, 0.0)

@@ -68,7 +68,7 @@ class GrayscaleDiffusion(Module):
     """
 
     def __init__(self, size=28, dt=0.001, dx=1.0, dy=1.0, num_steps=10,
-                 init_value=2.0, eps=1e-6):
+                 init_value=2.0, eps=1e-6, remat=False):
         self.size = size
         self.dt = dt
         self.dx = dx
@@ -76,6 +76,7 @@ class GrayscaleDiffusion(Module):
         self.num_steps = num_steps
         self.init_value = init_value
         self.eps = eps
+        self.remat = remat  # rematerialize per-step (memory ∝ 1 step for bwd)
 
     def init(self, key):
         s = self.size
@@ -103,6 +104,8 @@ class GrayscaleDiffusion(Module):
             x = sweep_x(x, alpha, self.dt / 2, self.dx, smooth=True, eps=self.eps)
             return x, None
 
+        if self.remat:
+            step = jax.checkpoint(step)
         x, _ = lax.scan(step, x, ts)
         return x[:, None], state
 
@@ -181,7 +184,8 @@ class MixedChannelDiffusion(Module):
     """
 
     def __init__(self, size=32, channels=3, dt=0.001, dx=1.0, dy=1.0,
-                 num_steps=10, splitting="strang", eps=1e-6, clamp_max=10.0):
+                 num_steps=10, splitting="strang", eps=1e-6, clamp_max=10.0,
+                 remat=False):
         assert splitting in ("strang", "lie")
         self.size = size
         self.channels = channels
@@ -192,6 +196,7 @@ class MixedChannelDiffusion(Module):
         self.splitting = splitting
         self.eps = eps
         self.clamp_max = clamp_max
+        self.remat = remat
 
     def init(self, key):
         s, C = self.size, self.channels
@@ -229,5 +234,7 @@ class MixedChannelDiffusion(Module):
                 u = sweep_x(u, alpha, self.dt / 2, self.dx, smooth=False, eps=eps)
             return u, None
 
+        if self.remat:
+            step = jax.checkpoint(step)
         u, _ = lax.scan(step, u, ts)
         return u, state

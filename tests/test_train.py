@@ -121,3 +121,24 @@ def test_smoke_training_loss_decreases(key, tmp_path):
     ev2 = trainer.evaluate(state2, ds)
     assert abs(ev2["acc"] - ev["acc"]) < 1e-6
     assert state2.step == state.step
+
+
+def test_fit_lifecycle_early_stop_and_best_checkpoint(key, tmp_path):
+    """fit() end-to-end: eval cadence, best-acc checkpointing, early stop
+    (the emotion loop's lifecycle — emotion_recognition.py:339-369)."""
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=8, synthetic_test_per_class=3)
+    model = MNISTClassifier()
+    cfg = TrainConfig(epochs=6, batch_size=16, eval_every=1,
+                      early_stop_patience=2, log_every=10**9)
+    trainer = Trainer(model, cfg, lambda s: 1e-3)
+    state = trainer.init_state(key, None)
+    result = trainer.fit(state, ds, verbose=False,
+                         checkpoint_dir=str(tmp_path))
+    assert result["best_acc"] > 0.0
+    assert 1 <= len(result["history"]) <= 6
+    # best checkpoint exists and reloads to the recorded best accuracy
+    state2 = trainer.init_state(jax.random.PRNGKey(9), None)
+    restore_state(state2, str(tmp_path), tag="best")
+    ev = trainer.evaluate(state2, ds)
+    assert abs(ev["acc"] - result["best_acc"]) < 1e-6
