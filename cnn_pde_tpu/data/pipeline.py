@@ -53,9 +53,23 @@ class ArrayDataset:
             return images
         return (images - self.mean[:, None, None]) / self.std[:, None, None]
 
-    def train_batches(self, batch_size, seed=0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def train_batches(self, batch_size, seed=0, native=False
+                      ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Shuffled fixed-shape batches; remainder dropped (stable jit shapes).
-        Raw [0,1] images — normalization happens in the on-device augment fn."""
+        Raw [0,1] images — normalization happens in the on-device augment fn.
+
+        native=True routes through the C++ prefetching batcher
+        (cnn_pde_tpu.native): a producer thread gathers the next batch while
+        the device executes the current step — the reference's DataLoader-
+        worker role (mnist_test.py:251-258), done in-process."""
+        if native:
+            from ..native import NativeBatcher, native_available
+
+            if native_available():
+                yield from NativeBatcher(self.train_images, self.train_labels,
+                                         batch_size, seed=seed)
+                return
+            # fall through to the numpy path when no toolchain is present
         n = self.train_images.shape[0]
         perm = np.random.default_rng(seed).permutation(n)
         for i in range(0, n - batch_size + 1, batch_size):

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all visible devices")
+    ap.add_argument("--native-loader", action="store_true",
+                    help="use the C++ prefetching batcher")
     args = ap.parse_args()
 
     from ..data import build_augment_fn, load_dataset
@@ -60,7 +62,8 @@ def main():
     model = MODEL_REGISTRY[preset.model](**preset.model_kwargs)
     schedule = preset.make_schedule(steps_per_epoch)
     config = preset.make_train_config(epochs=epochs, batch_size=batch_size,
-                                      seed=args.seed)
+                                      seed=args.seed,
+                                      native_loader=args.native_loader)
     augment_fn = build_augment_fn(preset.augment)
     mesh = None
     if args.dp:

@@ -47,6 +47,7 @@ class TrainConfig:
     early_stop_patience: Optional[int] = None  # emotion: 10 (in eval rounds)
     log_every: int = 100         # batches between log lines
     seed: int = 0
+    native_loader: bool = False  # C++ prefetching batcher (cnn_pde_tpu.native)
 
     @property
     def eval_bs(self):
@@ -172,8 +173,10 @@ class Trainer:
         t0 = time.time()
         base_rng = jax.random.PRNGKey(cfg.seed)
         losses, accs = [], []  # device scalars — fetched once at epoch end
+        batch_kwargs = {"native": True} if cfg.native_loader else {}
         for bi, (images, labels) in enumerate(
-                dataset.train_batches(cfg.batch_size, seed=cfg.seed + epoch)):
+                dataset.train_batches(cfg.batch_size, seed=cfg.seed + epoch,
+                                      **batch_kwargs)):
             (state.params, state.model_state, state.opt_state, loss, acc) = \
                 self._train_step(state.params, state.model_state,
                                  state.opt_state, state.step,
