@@ -1,0 +1,142 @@
+"""Evaluation + analysis CLI — the evaluate_and_visualize driver (A1-A4).
+
+    python -m cnn_pde_tpu.analyze --preset mnist [--checkpoint-dir ckpt]
+        [--synthetic] [--output-dir reports]
+
+Produces what the reference prints/plots per script (mnist_test.py:348-444,
+SVHN.py:409-584, emotion_recognition.py:229-263):
+  * test accuracy, per-class accuracy, classification report
+  * CFL stability + coefficient time-evolution + anisotropy analysis
+    (when the model's PDE layer carries per-pixel fields)
+  * confusion-matrix heatmap, prediction panel with after-PDE images,
+    coefficient heatmaps — written as PNGs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description="cnn_pde_tpu analyzer")
+    ap.add_argument("--preset", required=True)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--data-dir", default="./data")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--output-dir", default="reports")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from .data import load_dataset
+    from .models import MODEL_REGISTRY
+    from .nn import Ctx
+    from .train import Trainer, restore_state
+    from .train.metrics import format_report
+    from .utils.analysis import (
+        anisotropy_analysis,
+        cfl_report,
+        coefficient_time_evolution,
+        evaluation_summary,
+    )
+    from .utils.config import get_preset
+    from .utils.viz import (
+        save_coefficient_heatmaps,
+        save_confusion_matrix,
+        save_prediction_panel,
+    )
+
+    preset = get_preset(args.preset)
+    dataset = load_dataset(
+        preset.dataset,
+        "/nonexistent" if args.synthetic else args.data_dir,
+        synthetic_ok=True)
+    model = MODEL_REGISTRY[preset.model](**preset.model_kwargs)
+    trainer = Trainer(model, preset.make_train_config(),
+                      preset.make_schedule(100))
+    state = trainer.init_state(jax.random.PRNGKey(args.seed), None)
+    if args.checkpoint_dir:
+        restore_state(state, args.checkpoint_dir, tag="best")
+        print(f"Restored best checkpoint (step {state.step})")
+
+    ev = trainer.evaluate(state, dataset)
+    summary = evaluation_summary(ev["labels"], ev["predictions"],
+                                 dataset.num_classes)
+    print(f"Test Accuracy: {summary['accuracy']:.2f}%")
+    print(format_report(summary["report"]))
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    out = {"accuracy": summary["accuracy"]}
+
+    save_confusion_matrix(
+        os.path.join(args.output_dir, f"{preset.name}_confusion.png"),
+        summary["confusion_matrix"])
+
+    # PDE-layer analysis when per-pixel fields exist (P1/P2 family)
+    diff_params = state.params.get("diff")
+    pde = getattr(model, "pde", None)
+    if diff_params is not None and "alpha_base" in diff_params \
+            and hasattr(pde, "dt") and hasattr(pde, "num_steps") \
+            and np.asarray(diff_params["alpha_base"]).ndim == 2:
+        dt, steps = pde.dt, pde.num_steps
+        dxv = getattr(pde, "dx", 1.0)
+        dyv = getattr(pde, "dy", 1.0)
+        cfl = cfl_report(diff_params["alpha_base"],
+                         diff_params["alpha_time_coeff"],
+                         diff_params["beta_base"],
+                         diff_params["beta_time_coeff"],
+                         dt=dt, dx=dxv, dy=dyv, num_steps=steps)
+        print(f"CFL: x={cfl['cfl_x']:.4f} {'✓' if cfl['stable_x'] else '⚠'} "
+              f"y={cfl['cfl_y']:.4f} {'✓' if cfl['stable_y'] else '⚠'}")
+        evo = coefficient_time_evolution(
+            diff_params["alpha_base"], diff_params["alpha_time_coeff"],
+            diff_params["beta_base"], diff_params["beta_time_coeff"],
+            dt=dt, num_steps=steps)
+        for row in evo:
+            print(f"t={row['t']:.3f}: α={row['alpha_mean']:.3f}"
+                  f"±{row['alpha_std']:.3f} β={row['beta_mean']:.3f}"
+                  f"±{row['beta_std']:.3f}")
+        t_final = steps * dt
+        alpha_f = np.maximum(np.asarray(diff_params["alpha_base"])
+                             + np.asarray(diff_params["alpha_time_coeff"]) * t_final,
+                             1e-6)
+        beta_f = np.maximum(np.asarray(diff_params["beta_base"])
+                            + np.asarray(diff_params["beta_time_coeff"]) * t_final,
+                            1e-6)
+        aniso = anisotropy_analysis(alpha_f, beta_f, dx=dxv, dy=dyv)
+        print(f"Anisotropy ratio: {aniso['anisotropy_ratio']:.3f}")
+        out["cfl"] = cfl
+        out["anisotropy"] = aniso
+        save_coefficient_heatmaps(
+            os.path.join(args.output_dir, f"{preset.name}_coefficients.png"),
+            [("Final Alpha", alpha_f), ("Final Beta", beta_f),
+             ("Alpha Time Coeff", np.asarray(diff_params["alpha_time_coeff"])),
+             ("Beta Time Coeff", np.asarray(diff_params["beta_time_coeff"]))])
+
+    # prediction panel with after-PDE images for PDE-front-end models
+    images = dataset.test_images[:6]
+    norm_images = next(dataset.eval_batches(6))[0]
+    logits, _ = model(state.params, state.model_state, jnp.asarray(norm_images))
+    preds = np.asarray(jnp.argmax(logits, -1))
+    diffused = None
+    if pde is not None and "diff" in state.params:
+        d_out, _ = pde.apply(state.params["diff"], state.model_state.get("diff", {}),
+                             jnp.asarray(norm_images), Ctx(train=False))
+        diffused = np.asarray(d_out)
+    save_prediction_panel(
+        os.path.join(args.output_dir, f"{preset.name}_predictions.png"),
+        images, dataset.test_labels[:6], preds, diffused=diffused)
+
+    with open(os.path.join(args.output_dir, f"{preset.name}_report.json"),
+              "w") as f:
+        json.dump(out, f, indent=2, default=float)
+    print(f"Artifacts written to {args.output_dir}/")
+
+
+if __name__ == "__main__":
+    main()

@@ -83,9 +83,5 @@ class ArrayDataset:
         for i in range(0, n, batch_size):
             yield self._normalize(images[i : i + batch_size]), labels[i : i + batch_size]
 
-    @property
-    def steps_per_epoch(self):
-        return max(self.train_images.shape[0] // 1, 1)
-
     def steps_for_batch(self, batch_size):
         return max(self.train_images.shape[0] // batch_size, 1)

@@ -4,7 +4,6 @@ the reference assemblies layer-for-layer (SURVEY.md §2.3)."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..nn import (
     BatchNorm,

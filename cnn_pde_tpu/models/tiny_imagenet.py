@@ -8,7 +8,6 @@ exposes the parameters that actually exist."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..nn import (
     AdaptiveAvgPool2d,

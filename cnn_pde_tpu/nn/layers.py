@@ -7,15 +7,13 @@ on the VPU.
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from . import initializers as init
-from .core import Ctx, Module
+from .core import Module
 
 __all__ = [
     "Linear",

@@ -16,7 +16,6 @@ state recompute in VMEM, planned follow-up).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ loops survive tracing.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -31,7 +31,6 @@ resident in VMEM.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

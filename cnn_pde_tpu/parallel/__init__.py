@@ -2,6 +2,7 @@
 
 from .data_parallel import make_dp_train_step, replicate, shard_batch
 from .mesh import NamedSharding, P, dp_shardings, make_mesh
+from .multihost import initialize, is_multihost, local_batch_slice
 from .spatial import adi_strang_step_spatial, ftcs_evolve_spatial
 
 __all__ = [
@@ -12,6 +13,9 @@ __all__ = [
     "P",
     "dp_shardings",
     "make_mesh",
+    "initialize",
+    "is_multihost",
+    "local_batch_slice",
     "adi_strang_step_spatial",
     "ftcs_evolve_spatial",
 ]

@@ -16,9 +16,8 @@ cifar10.py:440); parameters, PDE solves and reductions stay f32.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Callable, Optional, Sequence
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

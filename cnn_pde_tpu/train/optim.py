@@ -11,7 +11,7 @@ Gradients are clipped to global norm 1.0 *before* the step in every script
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional, Sequence
 
 import jax

@@ -8,7 +8,7 @@ regularizer) with file:line provenance."""
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 from ..data.augment import AugmentSpec
 from ..data.real import NORMALIZATION

@@ -5,7 +5,7 @@ overrides and tabulate the results, with per-config error isolation."""
 from __future__ import annotations
 
 import traceback
-from typing import Callable, Dict, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 

@@ -30,23 +30,30 @@ TOL = dict(rtol=1e-5, atol=1e-5)
 
 
 def _load_ref(name):
-    """Import a reference script with torchvision/matplotlib stubbed (they're
-    only used for data/plots, not the layers)."""
+    """Import a reference script, stubbing ONLY genuinely-missing modules
+    (they're only used for data/plots, not the layers).  Modules that exist
+    for real must not be shadowed — other tests import them."""
     for mod in ("torchvision", "matplotlib", "matplotlib.pyplot", "kagglehub",
                 "seaborn", "sklearn", "sklearn.metrics", "pandas"):
-        if mod not in sys.modules:
-            m = types.ModuleType(mod)
-            if mod == "torchvision":
-                m.datasets = types.ModuleType("d")
-                m.transforms = types.ModuleType("t")
-            if mod == "matplotlib":
-                m.pyplot = types.ModuleType("p")
-            if mod == "sklearn":
-                m.metrics = types.ModuleType("m")
-            if mod == "sklearn.metrics":
-                m.classification_report = lambda *a, **k: ""
-                m.confusion_matrix = lambda *a, **k: None
-            sys.modules[mod] = m
+        if mod in sys.modules:
+            continue
+        try:
+            importlib.import_module(mod)
+            continue  # real module available — leave it alone
+        except ImportError:
+            pass
+        m = types.ModuleType(mod)
+        if mod == "torchvision":
+            m.datasets = types.ModuleType("d")
+            m.transforms = types.ModuleType("t")
+        if mod == "matplotlib":
+            m.pyplot = types.ModuleType("p")
+        if mod == "sklearn":
+            m.metrics = types.ModuleType("m")
+        if mod == "sklearn.metrics":
+            m.classification_report = lambda *a, **k: ""
+            m.confusion_matrix = lambda *a, **k: None
+        sys.modules[mod] = m
     spec = importlib.util.spec_from_file_location(
         f"ref_{name}", os.path.join(REF, f"{name}.py"))
     mod = importlib.util.module_from_spec(spec)
