@@ -4,6 +4,7 @@ from .data_parallel import make_dp_train_step, replicate, shard_batch
 from .mesh import NamedSharding, P, dp_shardings, make_mesh
 from .multihost import initialize, is_multihost, local_batch_slice
 from .spatial import adi_strang_step_spatial, ftcs_evolve_spatial
+from .spatial_model import SpatialFTCSClassifier
 
 __all__ = [
     "make_dp_train_step",
@@ -18,4 +19,5 @@ __all__ = [
     "local_batch_slice",
     "adi_strang_step_spatial",
     "ftcs_evolve_spatial",
+    "SpatialFTCSClassifier",
 ]

@@ -62,6 +62,34 @@ def test_adi_spatial_matches_unsharded(rng, smooth):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_spatial_model_matches_unsharded(rng, key):
+    """SpatialFTCSClassifier (H sharded over 4 devices) must produce the same
+    logits as the plain EmotionClassifier with identical weights."""
+    from cnn_pde_tpu.models import EmotionClassifier
+    from cnn_pde_tpu.parallel import SpatialFTCSClassifier
+
+    mesh = make_mesh(data=2, spatial=4)
+    smodel = SpatialFTCSClassifier(mesh, img_size=48)
+    params, state = smodel.init(key)
+    ref_model = EmotionClassifier(img_size=48)
+    x = jnp.asarray(rng.random((4, 1, 48, 48)).astype(np.float32))
+
+    logits_s, _ = smodel(params, state, x)
+    logits_r, _ = ref_model(params, state, x)
+    np.testing.assert_allclose(np.asarray(logits_s), np.asarray(logits_r),
+                               rtol=5e-4, atol=1e-3)  # CFL-amplified values
+
+    # one jit'd train step over data×spatial with grads into the 6 PDE scalars
+    def loss(p):
+        y, _ = smodel(p, state, x)
+        return jnp.mean(y**2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    assert np.abs(np.asarray(g["diff"]["alpha_w1"])) > 0
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))
+
+
 def test_dp_train_step_matches_single_device(key):
     """One DP step over 8 devices == one single-device step on the same batch."""
     ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
