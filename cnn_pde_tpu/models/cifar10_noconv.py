@@ -24,16 +24,23 @@ __all__ = ["MultiScaleExtractor", "EnhancedFC", "CIFAR10PDENoConv"]
 
 class MultiScaleExtractor(Module):
     """M5 (cifar10.py:248-282): 3 Strang PDE layers at different temporal/
-    spatial scales, each gated by SpatialAttention, softmax-combined."""
+    spatial scales, each gated by SpatialAttention, softmax-combined.
 
-    def __init__(self, input_size=32, channels=3):
+    fused=True evolves the three branches in lockstep on stacked state
+    (pde/fused_multiscale.py): 8 sequential step-triples instead of 17,
+    identical activations, identical parameter layout.
+    """
+
+    _SCALES = [dict(dt=0.001, num_steps=5, dx=1.0, dy=1.0),
+               dict(dt=0.002, num_steps=8, dx=2.0, dy=2.0),
+               dict(dt=0.005, num_steps=4, dx=1.5, dy=1.5)]
+
+    def __init__(self, input_size=32, channels=3, fused=False):
+        self.fused = fused
         self.pdes = [
-            MixedChannelDiffusion(input_size, channels, dt=0.001, num_steps=5,
-                                  dx=1.0, dy=1.0, splitting="strang"),
-            MixedChannelDiffusion(input_size, channels, dt=0.002, num_steps=8,
-                                  dx=2.0, dy=2.0, splitting="strang"),
-            MixedChannelDiffusion(input_size, channels, dt=0.005, num_steps=4,
-                                  dx=1.5, dy=1.5, splitting="strang"),
+            MixedChannelDiffusion(input_size, channels, splitting="strang",
+                                  **scale)
+            for scale in self._SCALES
         ]
         self.attentions = [SpatialAttention(channels, input_size) for _ in range(3)]
 
@@ -49,10 +56,24 @@ class MultiScaleExtractor(Module):
 
     def apply(self, params, state, x, ctx):
         new_state = dict(state)
+        if self.fused:
+            from ..pde.fused_multiscale import fused_multiscale_evolve
+
+            stacked = fused_multiscale_evolve(
+                x, [params[f"pde{i+1}"] for i in range(3)],
+                dts=[s["dt"] for s in self._SCALES],
+                steps_list=[s["num_steps"] for s in self._SCALES],
+                dxs=[s["dx"] for s in self._SCALES],
+                dys=[s["dy"] for s in self._SCALES])
+            branch_feats = [stacked[i] for i in range(3)]
+        else:
+            branch_feats = []
+            for i in range(3):
+                f, new_state[f"pde{i+1}"] = self.pdes[i].apply(
+                    params[f"pde{i+1}"], state[f"pde{i+1}"], x, ctx)
+                branch_feats.append(f)
         feats = []
-        for i in range(3):
-            f, new_state[f"pde{i+1}"] = self.pdes[i].apply(
-                params[f"pde{i+1}"], state[f"pde{i+1}"], x, ctx)
+        for i, f in enumerate(branch_feats):
             f, new_state[f"attention{i+1}"] = self.attentions[i].apply(
                 params[f"attention{i+1}"], state[f"attention{i+1}"], f, ctx)
             feats.append(f)
@@ -88,8 +109,8 @@ class CIFAR10PDENoConv(Module):
     """M7 (cifar10.py:318-361): extractor → BN2d → avg‖max 4×4 pools → cat →
     flatten 96 → EnhancedFC([512,256,128,64] → 10)."""
 
-    def __init__(self, dropout_rate=0.3):
-        self.extractor = MultiScaleExtractor(32, 3)
+    def __init__(self, dropout_rate=0.3, fused_multiscale=False):
+        self.extractor = MultiScaleExtractor(32, 3, fused=fused_multiscale)
         self.feature_bn = BatchNorm(3)
         self.avg_pool = AdaptiveAvgPool2d(4)
         self.max_pool = AdaptiveMaxPool2d(4)

@@ -125,10 +125,12 @@ def _bwd(interpret, res, g):
         if grad.shape == ref.shape:
             return grad
         axes = tuple(
-            i for i, (gs, rs) in enumerate(zip(grad.shape[::-1],
-                                               ref.shape[::-1]))
+            grad.ndim - 1 - i
+            for i, (gs, rs) in enumerate(zip(grad.shape[::-1],
+                                             ref.shape[::-1]))
             if rs == 1 and gs != 1)
-        grad = jnp.sum(grad, axis=axes, keepdims=True)
+        if axes:
+            grad = jnp.sum(grad, axis=axes, keepdims=True)
         extra = grad.ndim - ref.ndim
         if extra:
             grad = jnp.sum(grad, axis=tuple(range(extra)))

@@ -220,17 +220,15 @@ def _tridiag_bwd(res, g):
     def _reduce_like(grad, ref):
         if grad.shape == ref.shape:
             return grad
-        grad = jnp.sum(
-            grad,
-            axis=tuple(
-                i
-                for i, (gs, rs) in enumerate(
-                    zip(grad.shape[::-1], ref.shape[::-1])
-                )
-                if rs == 1 and gs != 1
-            ),
-            keepdims=True,
+        # reduce broadcast axes: match trailing dims, then sum extra leading
+        axes = tuple(
+            grad.ndim - 1 - i
+            for i, (gs, rs) in enumerate(
+                zip(grad.shape[::-1], ref.shape[::-1]))
+            if rs == 1 and gs != 1
         )
+        if axes:
+            grad = jnp.sum(grad, axis=axes, keepdims=True)
         extra = grad.ndim - ref.ndim
         if extra:
             grad = jnp.sum(grad, axis=tuple(range(extra)))
