@@ -68,7 +68,8 @@ class GrayscaleDiffusion(Module):
     """
 
     def __init__(self, size=28, dt=0.001, dx=1.0, dy=1.0, num_steps=10,
-                 init_value=2.0, eps=1e-6, remat=False, fused_inference=False):
+                 init_value=2.0, eps=1e-6, remat=False, fused_inference=False,
+                 fused=False, fused_tile_b=32):
         self.size = size
         self.dt = dt
         self.dx = dx
@@ -80,6 +81,10 @@ class GrayscaleDiffusion(Module):
         # eval-mode fast path: the whole evolution as ONE Pallas kernel with
         # the state tile VMEM-resident (~3× faster forward on v5e; ≤3e-7 diff)
         self.fused_inference = fused_inference
+        # full fused mode: forward AND backward as single Pallas kernels
+        # (ops/pallas_fused_adi_vjp.py); grads match the XLA path to ~1e-8
+        self.fused = fused
+        self.fused_tile_b = fused_tile_b
 
     def init(self, key):
         s = self.size
@@ -94,6 +99,17 @@ class GrayscaleDiffusion(Module):
     def apply(self, params, state, u, ctx):
         x = u[:, 0]  # squeeze channel (mnist_test.py:46)
         ts = _substep_times(self.dt, self.num_steps)
+
+        if self.fused and jax.default_backend() == "tpu":
+            from ..ops.pallas_fused_adi_vjp import fused_grayscale_diffusion
+
+            ts_tuple = tuple(map(tuple, np.asarray(ts, np.float64).tolist()))
+            out = fused_grayscale_diffusion(
+                x, params["alpha_base"], params["alpha_time_coeff"],
+                params["beta_base"], params["beta_time_coeff"],
+                self.dt, self.dx, self.dy, self.num_steps, ts_tuple,
+                self.eps, self.fused_tile_b, False)
+            return out[:, None], state
 
         if (self.fused_inference and ctx is not None and not ctx.train
                 and jax.default_backend() == "tpu"):
