@@ -56,18 +56,43 @@ def main():
     labels = jnp.asarray(rng.integers(0, 10, args.batch_size).astype(np.int32))
     step_rng = jax.random.PRNGKey(1)
 
-    # compile + warmup
-    out = step_fn(state.params, state.model_state, state.opt_state, 0,
-                  images, labels, step_rng)
-    jax.block_until_ready(out)
-    params, mstate, ostate = out[0], out[1], out[2]
+    # Wrap N steps in ONE jitted fori_loop: a single dispatch measures pure
+    # device throughput, immune to host/tunnel dispatch latency.
+    raw_step = step_fn.raw
 
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        params, mstate, ostate, loss, acc = step_fn(
-            params, mstate, ostate, i + 1, images, labels, step_rng)
-    jax.block_until_ready((params, loss))
-    dt = (time.perf_counter() - t0) / args.iters
+    @jax.jit
+    def run_n(n, params, mstate, ostate, images, labels, rng):
+        def body(i, carry):
+            p, m, o = carry
+            p, m, o, loss, acc = raw_step(p, m, o, i, images, labels, rng)
+            return (p, m, o)
+
+        return jax.lax.fori_loop(0, n, body, (params, mstate, ostate))
+
+    def timed(n, carry):
+        t0 = time.perf_counter()
+        out = run_n(n, *carry, images, labels, step_rng)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0, out
+
+    out = run_n(args.iters, state.params, state.model_state,
+                state.opt_state, images, labels, step_rng)  # compile+warmup
+    jax.block_until_ready(out)
+    # Two-length subtraction cancels the per-call host/tunnel round trip:
+    # dt = (T(2N) - T(N)) / N is pure device time per step.  Take the min of
+    # several samples of each (min = least-congested window) and fall back to
+    # the direct 2N estimate if jitter makes the difference non-positive.
+    ts_n, ts_2n = [], []
+    for _ in range(4):
+        t, out = timed(args.iters, out)
+        ts_n.append(t)
+        t, out = timed(2 * args.iters, out)
+        ts_2n.append(t)
+    diff = min(ts_2n) - min(ts_n)
+    if diff > 0:
+        dt = diff / args.iters
+    else:
+        dt = min(ts_2n) / (2 * args.iters)
 
     img_per_sec = args.batch_size / dt
     print(json.dumps({

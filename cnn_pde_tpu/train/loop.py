@@ -140,13 +140,16 @@ class Trainer:
             from ..parallel.mesh import dp_shardings
 
             batch_s, rep_s = dp_shardings(self.mesh)
-            return jax.jit(
+            jitted = jax.jit(
                 train_step,
                 in_shardings=(rep_s, rep_s, rep_s, None, batch_s, batch_s, None),
                 out_shardings=(rep_s, rep_s, rep_s, rep_s, rep_s),
                 donate_argnums=(0, 1, 2),
             )
-        return jax.jit(train_step, donate_argnums=(0, 1, 2))
+        else:
+            jitted = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        jitted.raw = train_step  # unjitted body (bench wraps it in fori_loop)
+        return jitted
 
     def _make_eval_step(self):
         model = self.model
