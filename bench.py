@@ -72,27 +72,24 @@ def main():
     def timed(n, carry):
         t0 = time.perf_counter()
         out = run_n(n, *carry, images, labels, step_rng)
-        jax.block_until_ready(out)
+        # Force a real device→host value fetch as the sync point: on the
+        # axon remote platform, block_until_ready alone has been observed to
+        # return before execution completes, yielding bogus timings.
+        float(jnp.sum(jax.tree_util.tree_leaves(out[0])[0]))
         return time.perf_counter() - t0, out
 
+    # Long in-loop runs amortize the (highly variable) pool/tunnel round trip
+    # and scheduling quanta; min over samples picks the least-congested
+    # window.  Conservative: includes one round trip per sample.
+    n_long = max(200, args.iters)
     out = run_n(args.iters, state.params, state.model_state,
                 state.opt_state, images, labels, step_rng)  # compile+warmup
     jax.block_until_ready(out)
-    # Two-length subtraction cancels the per-call host/tunnel round trip:
-    # dt = (T(2N) - T(N)) / N is pure device time per step.  Take the min of
-    # several samples of each (min = least-congested window) and fall back to
-    # the direct 2N estimate if jitter makes the difference non-positive.
-    ts_n, ts_2n = [], []
-    for _ in range(4):
-        t, out = timed(args.iters, out)
-        ts_n.append(t)
-        t, out = timed(2 * args.iters, out)
-        ts_2n.append(t)
-    diff = min(ts_2n) - min(ts_n)
-    if diff > 0:
-        dt = diff / args.iters
-    else:
-        dt = min(ts_2n) / (2 * args.iters)
+    samples = []
+    for _ in range(3):
+        t, out = timed(n_long, out)
+        samples.append(t)
+    dt = min(samples) / n_long
 
     img_per_sec = args.batch_size / dt
     print(json.dumps({
