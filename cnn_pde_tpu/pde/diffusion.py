@@ -215,7 +215,7 @@ class MixedChannelDiffusion(Module):
 
     def __init__(self, size=32, channels=3, dt=0.001, dx=1.0, dy=1.0,
                  num_steps=10, splitting="strang", eps=1e-6, clamp_max=10.0,
-                 remat=False):
+                 remat=False, fused_inference=False, fused_tile_b=32):
         assert splitting in ("strang", "lie")
         self.size = size
         self.channels = channels
@@ -227,6 +227,10 @@ class MixedChannelDiffusion(Module):
         self.eps = eps
         self.clamp_max = clamp_max
         self.remat = remat
+        # eval-mode single-launch Pallas path (ops/pallas_fused_channel.py);
+        # also f32-exact where the XLA path's bf16 mixing einsum drifts
+        self.fused_inference = fused_inference
+        self.fused_tile_b = fused_tile_b
 
     def init(self, key):
         s, C = self.size, self.channels
@@ -248,6 +252,19 @@ class MixedChannelDiffusion(Module):
     def apply(self, params, state, u, ctx):
         eps, cmax = self.eps, self.clamp_max
         ts = _substep_times(self.dt, self.num_steps)
+
+        if (self.fused_inference and ctx is not None and not ctx.train
+                and jax.default_backend() == "tpu"):
+            from ..ops.pallas_fused_channel import fused_channel_diffusion_fwd
+
+            out = fused_channel_diffusion_fwd(
+                u, params["alpha_base"], params["alpha_time_coeff"],
+                params["beta_base"], params["beta_time_coeff"],
+                params["channel_mixing"], dt=self.dt, dx=self.dx, dy=self.dy,
+                num_steps=self.num_steps, ts=ts, splitting=self.splitting,
+                eps=eps, cmax=cmax, tile_b=self.fused_tile_b)
+            return out, state
+
         dt_y = self.dt if self.splitting == "strang" else self.dt / 2
 
         def step(u, t3):

@@ -33,6 +33,28 @@ def test_fused_matches_layer_interpret(rng, key):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("splitting,steps", [("strang", 5), ("lie", 4)])
+def test_channel_fused_matches_layer_interpret(rng, key, splitting, steps):
+    from cnn_pde_tpu.ops.pallas_fused_channel import fused_channel_diffusion_fwd
+    from cnn_pde_tpu.pde import MixedChannelDiffusion
+
+    layer = MixedChannelDiffusion(16, 3, dt=0.002, num_steps=steps,
+                                  splitting=splitting)
+    params, state = layer.init(key)
+    params["alpha_time_coeff"] = jnp.asarray(
+        rng.standard_normal((3, 16, 16)).astype(np.float32) * 0.1)
+    u = jnp.asarray(rng.random((5, 3, 16, 16)).astype(np.float32))  # ragged
+    ref, _ = layer(params, state, u)
+    ts = np.asarray(_substep_times(0.002, steps))
+    out = fused_channel_diffusion_fwd(
+        u, params["alpha_base"], params["alpha_time_coeff"],
+        params["beta_base"], params["beta_time_coeff"],
+        params["channel_mixing"], dt=0.002, dx=1.0, dy=1.0, num_steps=steps,
+        ts=ts, splitting=splitting, tile_b=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_fused_pads_ragged_batch(rng, key):
     H = W = 8
     layer = GrayscaleDiffusion(H, dt=0.01, num_steps=1)
