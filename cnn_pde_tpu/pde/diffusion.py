@@ -195,8 +195,11 @@ class ChannelCoupledDiffusion(Module):
             alpha = _coeff_at(params["alpha_base"], params["alpha_time_coeff"],
                               t3[2], self.eps)
             u = sweep_x(u, alpha, self.dt / 2, self.dx, smooth=True, eps=self.eps)
-            # coupling: (B,C,H,W) pixels as rows × Cᵀ (SVHN.py:78-86)
-            u = jnp.einsum("bchw,kc->bkhw", u, params["channel_coupling"])
+            # coupling: (B,C,H,W) pixels as rows × Cᵀ (SVHN.py:78-86).
+            # HIGHEST precision: TPU einsum defaults to bf16 multiplies, which
+            # drift past the 1e-5 activation-parity budget over the steps.
+            u = jnp.einsum("bchw,kc->bkhw", u, params["channel_coupling"],
+                           precision=jax.lax.Precision.HIGHEST)
             return u, None
 
         u, _ = lax.scan(step, u, ts)
@@ -246,8 +249,10 @@ class MixedChannelDiffusion(Module):
         return params, {}
 
     def _mix(self, params, u):
-        """mixing @ u over the channel axis (cifar10.py:65-72)."""
-        return jnp.einsum("kc,bchw->bkhw", params["channel_mixing"], u)
+        """mixing @ u over the channel axis (cifar10.py:65-72); HIGHEST
+        precision keeps hardware activations inside the 1e-5 parity budget."""
+        return jnp.einsum("kc,bchw->bkhw", params["channel_mixing"], u,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def apply(self, params, state, u, ctx):
         eps, cmax = self.eps, self.clamp_max

@@ -93,7 +93,8 @@ def fused_multiscale_evolve(u, branch_params, *, dts, steps_list, dxs, dys,
         act5 = act.reshape(K, 1, 1, 1, 1)
         # channel mixing (identity for exhausted branches)
         mix_eff = act[:, None, None] * mix + (1 - act[:, None, None]) * eye
-        U = jnp.einsum("kij,kbjhw->kbihw", mix_eff, U)
+        U = jnp.einsum("kij,kbjhw->kbihw", mix_eff, U,
+                       precision=jax.lax.Precision.HIGHEST)
         # x (dt/2)
         alpha = coeff(ab, at, t3[:, :1])
         U = _masked_sweep(U, alpha, dtfac_x, act5, eps)
