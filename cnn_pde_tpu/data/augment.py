@@ -178,9 +178,27 @@ def build_augment_fn(spec: AugmentSpec) -> Callable:
             img = _random_crop_pad(ks[0], img, spec.crop_padding)
         if spec.hflip:
             img = _hflip(ks[1], img, spec.hflip)
-        if spec.rotation:
+        if spec.rotation and spec.translate:
+            # compose rotation∘translation into ONE inverse-affine warp —
+            # map_coordinates gathers are the dominant augmentation cost,
+            # so one sampling pass instead of two
+            _, H, W = img.shape
+            angle = jax.random.uniform(ks[2], (), minval=-spec.rotation,
+                                       maxval=spec.rotation)
+            rad = angle * math.pi / 180.0
+            c, s = jnp.cos(rad), jnp.sin(rad)
+            tx = jax.random.uniform(ks[3], (), minval=-spec.translate,
+                                    maxval=spec.translate) * W
+            ty = jax.random.uniform(jax.random.fold_in(ks[3], 1), (),
+                                    minval=-spec.translate,
+                                    maxval=spec.translate) * H
+            # forward map: translate(rotate(x)); inverse: rotate⁻¹∘translate⁻¹
+            inv = jnp.array([[c, s, -(c * tx + s * ty)],
+                             [-s, c, -(-s * tx + c * ty)]])
+            img = _affine_warp(img, inv)
+        elif spec.rotation:
             img = _rotate(ks[2], img, spec.rotation)
-        if spec.translate:
+        elif spec.translate:
             img = _translate(ks[3], img, spec.translate)
         if spec.brightness or spec.contrast or spec.saturation or spec.hue:
             img = _color_jitter(ks[4], img, spec.brightness, spec.contrast,
