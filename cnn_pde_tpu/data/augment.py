@@ -64,6 +64,26 @@ def _hflip(rng, img, p=0.5):
     return jnp.where(flip, img[:, :, ::-1], img)
 
 
+def _resize_crop(rng, img, resize_to):
+    """Resize (bilinear) to resize_to then random-crop back to the original
+    size — torchvision Resize(R)+RandomCrop(S) (tiny_imagenet.py:524-525),
+    done as ONE affine sampling pass: output pixel (i,j) reads the input at
+    ((i+oy)·S/R, (j+ox)·S/R)."""
+    C, H, W = img.shape
+    scale = H / resize_to
+    ky, kx = jax.random.split(rng)
+    oy = jax.random.randint(ky, (), 0, resize_to - H + 1).astype(jnp.float32)
+    ox = jax.random.randint(kx, (), 0, resize_to - W + 1).astype(jnp.float32)
+    ys = (jnp.arange(H, dtype=jnp.float32) + oy) * scale
+    xs = (jnp.arange(W, dtype=jnp.float32) + ox) * scale
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+
+    def warp_channel(ch):
+        return map_coordinates(ch, [yy, xx], order=1, cval=0.0)
+
+    return jax.vmap(warp_channel)(img)
+
+
 def _random_crop_pad(rng, img, padding):
     C, H, W = img.shape
     padded = jnp.pad(img, ((0, 0), (padding, padding), (padding, padding)))
@@ -111,9 +131,13 @@ def _color_jitter(rng, img, brightness, contrast, saturation, hue):
         img = jnp.clip(img * f, 0.0, 1.0)
     if contrast:
         f = jax.random.uniform(ks[1], (), minval=1 - contrast, maxval=1 + contrast)
-        mean = jnp.mean(img, axis=(0, 1, 2) if img.shape[0] == 1 else (1, 2),
-                        keepdims=True).mean()
-        img = jnp.clip((img - mean) * f + mean, 0.0, 1.0)
+        # torchvision adjust_contrast pivots on the LUMINANCE mean
+        # (mean of 0.299r+0.587g+0.114b), not the unweighted channel mean
+        if img.shape[0] == 3:
+            pivot = jnp.mean(0.299 * img[0] + 0.587 * img[1] + 0.114 * img[2])
+        else:
+            pivot = jnp.mean(img)
+        img = jnp.clip((img - pivot) * f + pivot, 0.0, 1.0)
     if saturation and img.shape[0] == 3:
         f = jax.random.uniform(ks[2], (), minval=1 - saturation, maxval=1 + saturation)
         gray = (0.299 * img[0] + 0.587 * img[1] + 0.114 * img[2])[None]
@@ -151,12 +175,13 @@ class AugmentSpec:
     chains per preset — D1-D4 in SURVEY.md §2.4)."""
 
     def __init__(self, *, rotation=0.0, translate=0.0, hflip=0.0,
-                 crop_padding=0, brightness=0.0, contrast=0.0, saturation=0.0,
-                 hue=0.0, erasing_p=0.0,
+                 crop_padding=0, resize_crop=0, brightness=0.0, contrast=0.0,
+                 saturation=0.0, hue=0.0, erasing_p=0.0,
                  mean: Optional[Sequence[float]] = None,
                  std: Optional[Sequence[float]] = None):
         self.rotation = rotation
         self.translate = translate
+        self.resize_crop = resize_crop  # Resize(R)+RandomCrop(original)
         self.hflip = hflip
         self.crop_padding = crop_padding
         self.brightness = brightness
@@ -174,6 +199,9 @@ def build_augment_fn(spec: AugmentSpec) -> Callable:
 
     def augment_one(rng, img):
         ks = jax.random.split(rng, 6)
+        if spec.resize_crop:
+            img = _resize_crop(jax.random.fold_in(ks[0], 7), img,
+                               spec.resize_crop)
         if spec.crop_padding:
             img = _random_crop_pad(ks[0], img, spec.crop_padding)
         if spec.hflip:

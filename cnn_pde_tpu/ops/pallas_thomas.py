@@ -137,7 +137,7 @@ def _bwd(interpret, res, g):
         return jnp.reshape(grad, ref.shape)
 
     return (_reduce_like(grad_a, a), _reduce_like(grad_b, b),
-            _reduce_like(grad_c, c), grad_d)
+            _reduce_like(grad_c, c), _reduce_like(grad_d, d))
 
 
 pallas_tridiag_solve.defvjp(_fwd, _bwd)

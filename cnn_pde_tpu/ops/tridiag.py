@@ -199,11 +199,11 @@ def tridiag_solve(a, b, c, d):
 
 def _tridiag_fwd(a, b, c, d):
     x = _solve_impl(a, b, c, d)
-    return x, (a, b, c, x)
+    return x, (a, b, c, d, x)
 
 
 def _tridiag_bwd(res, g):
-    a, b, c, x = res
+    a, b, c, d, x = res
     a_t, b_t, c_t = _transpose_system(a, b, c)
     lam = _solve_impl(a_t, b_t, c_t, g)  # λ = T^{-T} g
     grad_d = lam
@@ -238,7 +238,7 @@ def _tridiag_bwd(res, g):
         _reduce_like(grad_a, a),
         _reduce_like(grad_b, b),
         _reduce_like(grad_c, c),
-        _reduce_like(grad_d, x),
+        _reduce_like(grad_d, d),
     )
 
 

@@ -82,8 +82,8 @@ def main():
         # cap batches per epoch by wrapping the dataset iterator
         orig = dataset.train_batches
 
-        def capped(bs, seed=0):
-            for i, b in enumerate(orig(bs, seed=seed)):
+        def capped(bs, **kwargs):
+            for i, b in enumerate(orig(bs, **kwargs)):
                 if i >= args.steps:
                     break
                 yield b

@@ -47,11 +47,6 @@ def restore_state(state, directory, tag="last"):
     """Restore in place into a TrainState created with the same model/optimizer
     (resume path — absent in the reference)."""
     payload = load_checkpoint(directory, tag)
-
-    def _restore(template, saved):
-        return jax.tree_util.tree_map(lambda t, s: type(t)(s) if not hasattr(t, "devices")
-                                      else jax.numpy.asarray(s), template, saved)
-
     state.params = jax.tree_util.tree_map(
         lambda t, s: jax.numpy.asarray(s), state.params, payload["params"])
     state.model_state = jax.tree_util.tree_map(

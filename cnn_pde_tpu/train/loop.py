@@ -254,8 +254,10 @@ class Trainer:
         return {"best_acc": best_acc, "history": history}
 
 
-def pde_param_stats(params, prefix="diff"):
-    """The per-epoch α/β statistics print (mnist_test.py:324-341)."""
+def pde_param_stats(params, prefix=""):
+    """The per-epoch α/β statistics print (mnist_test.py:324-341).
+    Matches any coefficient field path (diff.*, feature_extractor.pdeN.*,
+    diffusionN.* — all model families); pass prefix to narrow."""
     out = {}
     for name, p in param_path_items(params):
         if prefix in name and ("alpha" in name or "beta" in name):

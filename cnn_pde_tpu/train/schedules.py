@@ -36,7 +36,7 @@ def onecycle(max_lr, total_steps, pct_start=0.3, div_factor=25.0,
     warmup initial→max over pct_start, then anneal max→initial/final_div."""
     initial = max_lr / div_factor
     final = initial / final_div_factor
-    up_steps = float(int(pct_start * total_steps) - 1)
+    up_steps = float(pct_start * total_steps) - 1.0  # torch uses float here
     down_steps = float(total_steps - 1) - up_steps
 
     def _cos(a, b, pct):

@@ -144,8 +144,9 @@ PRESETS = {
         epochs=10, batch_size=32, lr=1e-3, weight_decay=1e-4,
         schedule="onecycle", schedule_kwargs={"max_lr": 1e-2, "pct_start": 0.1},
         num_classes=200, model_kwargs={"num_classes": 200},
-        augment=AugmentSpec(hflip=0.5, brightness=0.1, contrast=0.1,
-                            saturation=0.1, hue=0.05,
+        # Resize(72)+RandomCrop(64) (tiny_imagenet.py:524-525) via resize_crop
+        augment=AugmentSpec(resize_crop=72, hflip=0.5, brightness=0.1,
+                            contrast=0.1, saturation=0.1, hue=0.05,
                             **_norm("tiny_imagenet")),
     ),
 }

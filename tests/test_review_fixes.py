@@ -1,0 +1,89 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnn_pde_tpu.data.augment import AugmentSpec, _color_jitter, _resize_crop, build_augment_fn
+from cnn_pde_tpu.ops.tridiag import tridiag_solve
+from cnn_pde_tpu.train.loop import pde_param_stats
+
+torch = pytest.importorskip("torch")
+
+
+def test_tridiag_grad_d_reduces_over_broadcast(rng):
+    """grad wrt a broadcast d must be summed to d's shape (was returned at
+    the broadcast shape)."""
+    a = (rng.standard_normal((4, 8)) * 0.2).astype(np.float32)
+    c = (rng.standard_normal((4, 8)) * 0.2).astype(np.float32)
+    b = (2.0 + np.abs(a) + np.abs(c)).astype(np.float32)
+    d = rng.standard_normal((8,)).astype(np.float32)
+
+    g = jax.grad(lambda d: jnp.sum(tridiag_solve(a, b, c, d)))(jnp.asarray(d))
+    assert g.shape == (8,)
+    # value check vs explicit broadcast
+    g_full = jax.grad(lambda d: jnp.sum(tridiag_solve(
+        a, b, c, jnp.broadcast_to(d, (4, 8)))))(jnp.asarray(d))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_full),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pde_param_stats_matches_flagship_paths(key):
+    from cnn_pde_tpu.models import CIFAR10PDENoConv
+
+    params, _ = CIFAR10PDENoConv().init(key)
+    stats = pde_param_stats(params)
+    assert any("pde1" in k and "alpha_base" in k for k in stats)
+
+
+def test_steps_cap_with_native_loader(key):
+    """--steps wrapper must accept the native kwarg (crashed before)."""
+    import sys
+
+    from cnn_pde_tpu.data import load_dataset
+
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=5, synthetic_test_per_class=2)
+    orig = ds.train_batches
+
+    def capped(bs, **kwargs):
+        for i, b in enumerate(orig(bs, **kwargs)):
+            if i >= 1:
+                break
+            yield b
+
+    ds.train_batches = capped
+    batches = list(ds.train_batches(8, seed=0, native=True))
+    assert len(batches) == 1
+
+
+def test_contrast_pivot_is_luminance(rng, key):
+    """Contrast-only jitter must blend toward the luminance mean (torch
+    adjust_contrast semantics), checked by direct formula."""
+    img = jnp.asarray(rng.random((3, 8, 8)).astype(np.float32))
+    # contrast factor is random; recover it from one pixel and verify pivot
+    out = _color_jitter(key, img, 0.0, 0.5, 0.0, 0.0)
+    pivot = float(jnp.mean(0.299 * img[0] + 0.587 * img[1] + 0.114 * img[2]))
+    # out = clip((img - pivot)*f + pivot): solve f from an unclipped pixel
+    flat_in = np.asarray(img).ravel()
+    flat_out = np.asarray(out).ravel()
+    ok = (flat_out > 1e-3) & (flat_out < 1 - 1e-3) & (np.abs(flat_in - pivot) > 0.1)
+    fs = (flat_out[ok] - pivot) / (flat_in[ok] - pivot)
+    assert fs.std() < 1e-4  # single consistent factor around the luminance pivot
+
+
+def test_resize_crop_shape_and_content(rng, key):
+    img = jnp.asarray(rng.random((3, 64, 64)).astype(np.float32))
+    out = _resize_crop(key, img, 72)
+    assert out.shape == (3, 64, 64)
+    assert np.isfinite(np.asarray(out)).all()
+    # zoomed-in: content is a magnified sub-window, so values stay in range
+    assert float(out.min()) >= -1e-5 and float(out.max()) <= 1.0 + 1e-5
+    # the tiny preset's augment pipeline runs end to end
+    fn = build_augment_fn(AugmentSpec(resize_crop=72, hflip=0.5,
+                                      mean=(0.485, 0.456, 0.406),
+                                      std=(0.229, 0.224, 0.225)))
+    batch = jnp.asarray(rng.random((4, 3, 64, 64)).astype(np.float32))
+    ob = fn(key, batch)
+    assert ob.shape == batch.shape and np.isfinite(np.asarray(ob)).all()
