@@ -29,6 +29,21 @@ def test_tridiag_grad_d_reduces_over_broadcast(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_grad_d_reduces_over_broadcast(rng):
+    from cnn_pde_tpu.ops.pallas_thomas import pallas_tridiag_solve
+
+    a = (rng.standard_normal((4, 8)) * 0.2).astype(np.float32)
+    c = (rng.standard_normal((4, 8)) * 0.2).astype(np.float32)
+    b = (2.0 + np.abs(a) + np.abs(c)).astype(np.float32)
+    d = rng.standard_normal((8,)).astype(np.float32)
+    g = jax.grad(lambda d: jnp.sum(
+        pallas_tridiag_solve(a, b, c, d, True)))(jnp.asarray(d))
+    assert g.shape == (8,)
+    g_ref = jax.grad(lambda d: jnp.sum(tridiag_solve(a, b, c, d)))(jnp.asarray(d))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_pde_param_stats_matches_flagship_paths(key):
     from cnn_pde_tpu.models import CIFAR10PDENoConv
 
