@@ -83,12 +83,13 @@ def _solve_2d(a, b, c, d, *, interpret=False):
 
 
 def _solve(a, b, c, d, *, interpret=False):
-    shape = d.shape
+    shape = jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b), jnp.shape(c),
+                                 jnp.shape(d))
     N = shape[-1]
     a = jnp.broadcast_to(a, shape).reshape(-1, N).T
     b = jnp.broadcast_to(b, shape).reshape(-1, N).T
     c = jnp.broadcast_to(c, shape).reshape(-1, N).T
-    d2 = d.reshape(-1, N).T
+    d2 = jnp.broadcast_to(d, shape).reshape(-1, N).T
     x = _solve_2d(a, b, c, d2, interpret=interpret)
     return x.T.reshape(shape)
 
