@@ -36,12 +36,10 @@ from ..ops.adi import sweep_x, sweep_y
 __all__ = ["GrayscaleDiffusion", "ChannelCoupledDiffusion", "MixedChannelDiffusion"]
 
 
-def _substep_times(dt: float, num_steps: int) -> jnp.ndarray:
+def _substep_times_np(dt: float, num_steps: int) -> np.ndarray:
     """(num_steps, 3) coefficient evaluation times, accumulated in float64
     exactly as the reference's python-float bookkeeping (t, t+dt/2, t+dt per
-    step; t advances by dt after each full step — mnist_test.py:50-63).
-    Precomputed so the per-step loop can be a lax.scan (one traced body
-    instead of num_steps unrolled copies — ~10× faster compiles)."""
+    step; t advances by dt after each full step — mnist_test.py:50-63)."""
     ts = np.empty((num_steps, 3), np.float64)
     t = 0.0
     for s in range(num_steps):
@@ -50,7 +48,21 @@ def _substep_times(dt: float, num_steps: int) -> jnp.ndarray:
         ts[s, 1] = t
         t += dt / 2
         ts[s, 2] = t
-    return jnp.asarray(ts, jnp.float32)
+    return ts
+
+
+def _substep_times(dt: float, num_steps: int) -> jnp.ndarray:
+    """Device constant of _substep_times_np.  Precomputed so the per-step
+    loop can be a lax.scan (one traced body instead of num_steps unrolled
+    copies — ~10× faster compiles)."""
+    return jnp.asarray(_substep_times_np(dt, num_steps), jnp.float32)
+
+
+def _substep_times_tuple(dt: float, num_steps: int):
+    """Hashable (static) tuple-of-tuples form for the fused Pallas kernels.
+    Must come from the numpy times, NOT the traced device array — converting
+    a tracer back to numpy fails under jit."""
+    return tuple(map(tuple, _substep_times_np(dt, num_steps).tolist()))
 
 
 def _coeff_at(base, time_coeff, t, eps, cmax=None):
@@ -85,6 +97,8 @@ class GrayscaleDiffusion(Module):
         # (ops/pallas_fused_adi_vjp.py); grads match the XLA path to ~1e-8
         self.fused = fused
         self.fused_tile_b = fused_tile_b
+        # test hook: run the fused kernels in interpret mode off-TPU
+        self.fused_interpret = False
 
     def init(self, key):
         s = self.size
@@ -100,15 +114,16 @@ class GrayscaleDiffusion(Module):
         x = u[:, 0]  # squeeze channel (mnist_test.py:46)
         ts = _substep_times(self.dt, self.num_steps)
 
-        if self.fused and jax.default_backend() == "tpu":
+        if self.fused and (self.fused_interpret
+                           or jax.default_backend() == "tpu"):
             from ..ops.pallas_fused_adi_vjp import fused_grayscale_diffusion
 
-            ts_tuple = tuple(map(tuple, np.asarray(ts, np.float64).tolist()))
+            ts_tuple = _substep_times_tuple(self.dt, self.num_steps)
             out = fused_grayscale_diffusion(
                 x, params["alpha_base"], params["alpha_time_coeff"],
                 params["beta_base"], params["beta_time_coeff"],
                 self.dt, self.dx, self.dy, self.num_steps, ts_tuple,
-                self.eps, self.fused_tile_b, False)
+                self.eps, self.fused_tile_b, self.fused_interpret)
             return out[:, None], state
 
         if (self.fused_inference and ctx is not None and not ctx.train
@@ -218,7 +233,8 @@ class MixedChannelDiffusion(Module):
 
     def __init__(self, size=32, channels=3, dt=0.001, dx=1.0, dy=1.0,
                  num_steps=10, splitting="strang", eps=1e-6, clamp_max=10.0,
-                 remat=False, fused_inference=False, fused_tile_b=32):
+                 remat=False, fused_inference=False, fused=False,
+                 fused_tile_b=32, fused_train_tile_b=8):
         assert splitting in ("strang", "lie")
         self.size = size
         self.channels = channels
@@ -233,7 +249,16 @@ class MixedChannelDiffusion(Module):
         # eval-mode single-launch Pallas path (ops/pallas_fused_channel.py);
         # also f32-exact where the XLA path's bf16 mixing einsum drifts
         self.fused_inference = fused_inference
+        # full fused mode: forward AND backward as single Pallas kernels
+        # (ops/pallas_fused_channel_vjp.py), incl. mixing adjoint.  The
+        # trainable path holds per-step residuals in the VMEM block, so its
+        # tile must stay small (tile 16+ exceeds the 16MB scoped-vmem limit
+        # at CIFAR shapes)
+        self.fused = fused
         self.fused_tile_b = fused_tile_b
+        self.fused_train_tile_b = fused_train_tile_b
+        # test hook: run the fused kernels in interpret mode off-TPU
+        self.fused_interpret = False
 
     def init(self, key):
         s, C = self.size, self.channels
@@ -257,6 +282,19 @@ class MixedChannelDiffusion(Module):
     def apply(self, params, state, u, ctx):
         eps, cmax = self.eps, self.clamp_max
         ts = _substep_times(self.dt, self.num_steps)
+
+        if self.fused and (self.fused_interpret
+                           or jax.default_backend() == "tpu"):
+            from ..ops.pallas_fused_channel_vjp import fused_channel_diffusion
+
+            ts_tuple = _substep_times_tuple(self.dt, self.num_steps)
+            out = fused_channel_diffusion(
+                u, params["alpha_base"], params["alpha_time_coeff"],
+                params["beta_base"], params["beta_time_coeff"],
+                params["channel_mixing"], self.dt, self.dx, self.dy,
+                self.num_steps, ts_tuple, self.splitting, eps, cmax,
+                self.fused_train_tile_b, self.fused_interpret)
+            return out, state
 
         if (self.fused_inference and ctx is not None and not ctx.train
                 and jax.default_backend() == "tpu"):
