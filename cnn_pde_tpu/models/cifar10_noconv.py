@@ -35,11 +35,16 @@ class MultiScaleExtractor(Module):
                dict(dt=0.002, num_steps=8, dx=2.0, dy=2.0),
                dict(dt=0.005, num_steps=4, dx=1.5, dy=1.5)]
 
-    def __init__(self, input_size=32, channels=3, fused=False):
+    def __init__(self, input_size=32, channels=3, fused=False,
+                 fused_pde=False):
+        # fused_pde=True runs each branch's whole evolution as single Pallas
+        # kernels (fwd+bwd, ops/pallas_fused_channel_vjp.py); mutually
+        # exclusive with the lockstep-stacked fused (multiscale) mode
+        assert not (fused and fused_pde)
         self.fused = fused
         self.pdes = [
             MixedChannelDiffusion(input_size, channels, splitting="strang",
-                                  **scale)
+                                  fused=fused_pde, **scale)
             for scale in self._SCALES
         ]
         self.attentions = [SpatialAttention(channels, input_size) for _ in range(3)]
@@ -109,8 +114,10 @@ class CIFAR10PDENoConv(Module):
     """M7 (cifar10.py:318-361): extractor → BN2d → avg‖max 4×4 pools → cat →
     flatten 96 → EnhancedFC([512,256,128,64] → 10)."""
 
-    def __init__(self, dropout_rate=0.3, fused_multiscale=False):
-        self.extractor = MultiScaleExtractor(32, 3, fused=fused_multiscale)
+    def __init__(self, dropout_rate=0.3, fused_multiscale=False,
+                 fused_pde=False):
+        self.extractor = MultiScaleExtractor(32, 3, fused=fused_multiscale,
+                                             fused_pde=fused_pde)
         self.feature_bn = BatchNorm(3)
         self.avg_pool = AdaptiveAvgPool2d(4)
         self.max_pool = AdaptiveMaxPool2d(4)

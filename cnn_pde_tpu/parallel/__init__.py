@@ -1,12 +1,20 @@
 """Parallelism: device meshes, data parallelism, spatial sharding."""
 
 from .data_parallel import make_dp_train_step, replicate, shard_batch
+from .dist_tridiag import (
+    adi_strang_step_partitioned,
+    sweep_sharded_axis,
+    tridiag_solve_partitioned,
+)
 from .mesh import NamedSharding, P, dp_shardings, make_mesh
 from .multihost import initialize, is_multihost, local_batch_slice
 from .spatial import adi_strang_step_spatial, ftcs_evolve_spatial
 from .spatial_model import SpatialFTCSClassifier
 
 __all__ = [
+    "adi_strang_step_partitioned",
+    "sweep_sharded_axis",
+    "tridiag_solve_partitioned",
     "make_dp_train_step",
     "replicate",
     "shard_batch",
