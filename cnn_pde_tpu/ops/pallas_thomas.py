@@ -108,7 +108,9 @@ def _fwd(a, b, c, d, interpret):
 
 def _bwd(interpret, res, g):
     a, b, c, d, x = res
-    shape = d.shape
+    # x carries the full broadcast result shape (d alone may be the
+    # lower-rank side, e.g. a shared RHS against batched coefficients)
+    shape = x.shape
     ab = jnp.broadcast_to(a, shape)
     bb = jnp.broadcast_to(b, shape)
     cb = jnp.broadcast_to(c, shape)

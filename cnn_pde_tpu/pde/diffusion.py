@@ -81,7 +81,7 @@ class GrayscaleDiffusion(Module):
 
     def __init__(self, size=28, dt=0.001, dx=1.0, dy=1.0, num_steps=10,
                  init_value=2.0, eps=1e-6, remat=False, fused_inference=False,
-                 fused=False, fused_tile_b=32):
+                 fused=False, fused_tile_b=16):
         self.size = size
         self.dt = dt
         self.dx = dx
@@ -90,11 +90,13 @@ class GrayscaleDiffusion(Module):
         self.init_value = init_value
         self.eps = eps
         self.remat = remat  # rematerialize per-step (memory ∝ 1 step for bwd)
-        # eval-mode fast path: the whole evolution as ONE Pallas kernel with
-        # the state tile VMEM-resident (~3× faster forward on v5e; ≤3e-7 diff)
+        # opt-in Pallas paths (≤3e-7 fwd diff; grads ~1e-8 vs XLA).  They cut
+        # launch count to 1, which wins only when per-dispatch latency
+        # dominates (isolated calls over a slow link); in chained loops the
+        # XLA path — batch-free PCR, state VMEM-resident across steps — is
+        # the measured fast path (PERF.md).  fused_tile_b ≤ 16 keeps the
+        # trainable backward inside the 16MB scoped-vmem limit at 10 steps.
         self.fused_inference = fused_inference
-        # full fused mode: forward AND backward as single Pallas kernels
-        # (ops/pallas_fused_adi_vjp.py); grads match the XLA path to ~1e-8
         self.fused = fused
         self.fused_tile_b = fused_tile_b
         # test hook: run the fused kernels in interpret mode off-TPU
