@@ -22,9 +22,11 @@ from .pallas_fused_adi import _pcr_rows
 __all__ = ["fused_channel_diffusion_fwd"]
 
 
-def _sweep_nosmooth(u, field, dtfac, eps, n):
-    """Implicit sweep along the last axis; field (C, H, n) broadcasts over the
-    tile batch of u (TILE_B, C, H, n)."""
+def _abc_nosmooth(field, dtfac, eps, n):
+    """The (a, b, c) sweep system for a raw (unsmoothed) coefficient field:
+    a=c=-r, b=1+2r with Neumann edge rows 1+r, plus the reference eps on b.
+    Shared by the forward sweep and the VJP's transposed solve so the two
+    can never desynchronize."""
     r = field * dtfac
     idx = lax.broadcasted_iota(jnp.int32, r.shape, r.ndim - 1)
     b = jnp.where((idx == 0) | (idx == n - 1), 1.0 + r, 1.0 + 2.0 * r) + eps
@@ -32,6 +34,13 @@ def _sweep_nosmooth(u, field, dtfac, eps, n):
     a = jnp.where(idx == 0, 0.0, a)
     c = -r
     c = jnp.where(idx == n - 1, 0.0, c)
+    return a, b, c
+
+
+def _sweep_nosmooth(u, field, dtfac, eps, n):
+    """Implicit sweep along the last axis; field (C, H, n) broadcasts over the
+    tile batch of u (TILE_B, C, H, n)."""
+    a, b, c = _abc_nosmooth(field, dtfac, eps, n)
     return _pcr_rows(a, b, c, u, n)
 
 

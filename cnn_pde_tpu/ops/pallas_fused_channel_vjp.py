@@ -33,23 +33,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_fused_adi import _pcr_rows
 from .pallas_fused_adi_vjp import _grad_r
-from .pallas_fused_channel import _sweep_nosmooth
+from .pallas_fused_channel import _abc_nosmooth, _sweep_nosmooth
+from .tridiag import _transpose_system
 
 __all__ = ["fused_channel_diffusion"]
 
 
 def _sweepT_nosmooth(lines, field, dtfac, eps, n):
-    """Adjoint solve x = T⁻ᵀ·lines for the no-smoothing sweep system built
-    from the (C, H, n) field (broadcast over the tile batch of lines)."""
-    r = field * dtfac
-    idx = lax.broadcasted_iota(jnp.int32, r.shape, r.ndim - 1)
-    b = jnp.where((idx == 0) | (idx == n - 1), 1.0 + r, 1.0 + 2.0 * r) + eps
-    a = -r
-    a = jnp.where(idx == 0, 0.0, a)
-    c = -r
-    c = jnp.where(idx == n - 1, 0.0, c)
-    a_t = jnp.concatenate([jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
-    c_t = jnp.concatenate([a[..., 1:], jnp.zeros_like(a[..., :1])], axis=-1)
+    """Adjoint solve x = T⁻ᵀ·lines: the SAME system construction as the
+    forward sweep (_abc_nosmooth), transposed via the shared shift helper."""
+    a, b, c = _abc_nosmooth(field, dtfac, eps, n)
+    a_t, b, c_t = _transpose_system(a, b, c)
     return _pcr_rows(a_t, b, c_t, lines, n)
 
 

@@ -19,8 +19,9 @@ sharded and only the tiny interface system crosses devices:
    2S boundary unknowns: a reduced (2S × 2S) system whose matrix depends on
    a/b/c alone (batch-free in every ADI sweep here — one factorization
    serves the whole batch) and whose RHS is 2 rows per shard of x_d.
-   One ``all_gather`` of those interface rows (O(S·rows) scalars — vs
-   O(n·rows) for the transpose approach) replicates it; every device solves
+   Two small ``all_gather``s (interface coefficients, interface RHS rows —
+   O(S·rows) scalars total, vs O(n·rows) for the transpose approach)
+   replicate it; every device solves
    it densely (2S ≤ 16) and extracts its two neighbor values.
 3. One local AXPY finishes.  Everything is differentiable: the local solves
    carry the analytic tridiagonal adjoint (ops/tridiag.py) and the reduced
@@ -102,7 +103,22 @@ def tridiag_solve_partitioned(a, b, c, d, axis_name):
     M = M + jnp.eye(n2, dtype=d.dtype)
     rhs = jnp.moveaxis(gd, (0, 1), (-2, -1))    # (*Bd, S, 2)
     rhs = rhs.reshape(rhs.shape[:-2] + (n2,))
-    z = jnp.linalg.solve(M, rhs[..., None])[..., 0]
+    # One factorization serves the whole batch: M depends only on the
+    # (batch-free) coefficients, so when rhs carries extra leading batch
+    # dims over M's batch shape, fold them into RHS columns — one LU per
+    # coefficient system, k triangular solves — instead of broadcasting a
+    # fresh LU per batch element.
+    Fd = M.shape[:-2]
+    Bd = rhs.shape[:-1]
+    if len(Bd) > len(Fd) and Bd[len(Bd) - len(Fd):] == Fd:
+        import math
+
+        ne = math.prod(Bd[:len(Bd) - len(Fd)])
+        r2 = jnp.moveaxis(rhs.reshape((ne,) + Fd + (n2,)), 0, -1)
+        z = jnp.moveaxis(jnp.linalg.solve(M, r2), -1, 0)
+        z = z.reshape(Bd + (n2,))
+    else:
+        z = jnp.linalg.solve(M, rhs[..., None])[..., 0]
 
     xL = jnp.where(p == 0, 0.0,
                    lax.dynamic_index_in_dim(z, jnp.maximum(2 * p - 1, 0),

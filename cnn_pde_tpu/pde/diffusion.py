@@ -116,6 +116,19 @@ class GrayscaleDiffusion(Module):
         x = u[:, 0]  # squeeze channel (mnist_test.py:46)
         ts = _substep_times(self.dt, self.num_steps)
 
+        # eval prefers the forward-only kernel: the trainable one streams the
+        # per-step residual tensor to HBM, which inference doesn't need
+        if (self.fused_inference and ctx is not None and not ctx.train
+                and jax.default_backend() == "tpu"):
+            from ..ops.pallas_fused_adi import fused_grayscale_diffusion_fwd
+
+            out = fused_grayscale_diffusion_fwd(
+                x, params["alpha_base"], params["alpha_time_coeff"],
+                params["beta_base"], params["beta_time_coeff"],
+                dt=self.dt, dx=self.dx, dy=self.dy,
+                num_steps=self.num_steps, ts=ts, eps=self.eps)
+            return out[:, None], state
+
         if self.fused and (self.fused_interpret
                            or jax.default_backend() == "tpu"):
             from ..ops.pallas_fused_adi_vjp import fused_grayscale_diffusion
@@ -126,17 +139,6 @@ class GrayscaleDiffusion(Module):
                 params["beta_base"], params["beta_time_coeff"],
                 self.dt, self.dx, self.dy, self.num_steps, ts_tuple,
                 self.eps, self.fused_tile_b, self.fused_interpret)
-            return out[:, None], state
-
-        if (self.fused_inference and ctx is not None and not ctx.train
-                and jax.default_backend() == "tpu"):
-            from ..ops.pallas_fused_adi import fused_grayscale_diffusion_fwd
-
-            out = fused_grayscale_diffusion_fwd(
-                x, params["alpha_base"], params["alpha_time_coeff"],
-                params["beta_base"], params["beta_time_coeff"],
-                dt=self.dt, dx=self.dx, dy=self.dy,
-                num_steps=self.num_steps, ts=ts, eps=self.eps)
             return out[:, None], state
 
         def step(x, t3):
@@ -285,6 +287,20 @@ class MixedChannelDiffusion(Module):
         eps, cmax = self.eps, self.clamp_max
         ts = _substep_times(self.dt, self.num_steps)
 
+        # eval prefers the forward-only kernel: the trainable one streams the
+        # per-step residual tensor to HBM, which inference doesn't need
+        if (self.fused_inference and ctx is not None and not ctx.train
+                and jax.default_backend() == "tpu"):
+            from ..ops.pallas_fused_channel import fused_channel_diffusion_fwd
+
+            out = fused_channel_diffusion_fwd(
+                u, params["alpha_base"], params["alpha_time_coeff"],
+                params["beta_base"], params["beta_time_coeff"],
+                params["channel_mixing"], dt=self.dt, dx=self.dx, dy=self.dy,
+                num_steps=self.num_steps, ts=ts, splitting=self.splitting,
+                eps=eps, cmax=cmax, tile_b=self.fused_tile_b)
+            return out, state
+
         if self.fused and (self.fused_interpret
                            or jax.default_backend() == "tpu"):
             from ..ops.pallas_fused_channel_vjp import fused_channel_diffusion
@@ -296,18 +312,6 @@ class MixedChannelDiffusion(Module):
                 params["channel_mixing"], self.dt, self.dx, self.dy,
                 self.num_steps, ts_tuple, self.splitting, eps, cmax,
                 self.fused_train_tile_b, self.fused_interpret)
-            return out, state
-
-        if (self.fused_inference and ctx is not None and not ctx.train
-                and jax.default_backend() == "tpu"):
-            from ..ops.pallas_fused_channel import fused_channel_diffusion_fwd
-
-            out = fused_channel_diffusion_fwd(
-                u, params["alpha_base"], params["alpha_time_coeff"],
-                params["beta_base"], params["beta_time_coeff"],
-                params["channel_mixing"], dt=self.dt, dx=self.dx, dy=self.dy,
-                num_steps=self.num_steps, ts=ts, splitting=self.splitting,
-                eps=eps, cmax=cmax, tile_b=self.fused_tile_b)
             return out, state
 
         dt_y = self.dt if self.splitting == "strang" else self.dt / 2
