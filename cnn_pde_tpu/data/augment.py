@@ -19,9 +19,27 @@ from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.ndimage import map_coordinates
 
 __all__ = ["AugmentSpec", "build_augment_fn", "build_normalize_fn"]
+
+
+def _bilinear_sample(img, coords_y, coords_x):
+    """Bilinear sampling of a (C, H, W) image at (H', W') coordinate grids
+    with zero fill outside — TPU-first: instead of a gather (map_coordinates
+    lowers to per-pixel gathers, which are slow on TPU), exploit that
+    bilinear weights FACTOR per axis: weight((i,j)→(k,l)) = tri(cy[i,j]−k) ·
+    tri(cx[i,j]−l) with tri(d)=max(0, 1−|d|).  The warp is then two small
+    einsums that ride the MXU; out-of-range taps drop weight, which is
+    exactly the cval=0 convention."""
+    C, H, W = img.shape
+    ky = jnp.arange(H, dtype=jnp.float32)
+    kx = jnp.arange(W, dtype=jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(coords_y[..., None] - ky))  # (H',W',H)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(coords_x[..., None] - kx))  # (H',W',W)
+    t = jnp.einsum("ijk,ckl->cijl", wy, img,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("cijl,ijl->cij", t, wx,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _affine_warp(img, inv_matrix):
@@ -35,11 +53,7 @@ def _affine_warp(img, inv_matrix):
     src_y = inv_matrix[1, 0] * xx + inv_matrix[1, 1] * yy + inv_matrix[1, 2]
     coords_y = src_y + (H - 1) / 2.0
     coords_x = src_x + (W - 1) / 2.0
-
-    def warp_channel(ch):
-        return map_coordinates(ch, [coords_y, coords_x], order=1, cval=0.0)
-
-    return jax.vmap(warp_channel)(img)
+    return _bilinear_sample(img, coords_y, coords_x)
 
 
 def _rotate(rng, img, degrees):
@@ -76,12 +90,13 @@ def _resize_crop(rng, img, resize_to):
     ox = jax.random.randint(kx, (), 0, resize_to - W + 1).astype(jnp.float32)
     ys = (jnp.arange(H, dtype=jnp.float32) + oy) * scale
     xs = (jnp.arange(W, dtype=jnp.float32) + ox) * scale
-    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-
-    def warp_channel(ch):
-        return map_coordinates(ch, [yy, xx], order=1, cval=0.0)
-
-    return jax.vmap(warp_channel)(img)
+    # the grid is separable (ys ⊗ xs): 1-D tri weights per axis, two matmuls
+    ay = jnp.maximum(0.0, 1.0 - jnp.abs(
+        ys[:, None] - jnp.arange(H, dtype=jnp.float32)))   # (H, H) src taps
+    ax = jnp.maximum(0.0, 1.0 - jnp.abs(
+        xs[:, None] - jnp.arange(W, dtype=jnp.float32)))   # (W, W)
+    return jnp.einsum("ik,ckl,jl->cij", ay, img, ax,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _random_crop_pad(rng, img, padding):
@@ -111,17 +126,18 @@ def _rgb_to_hsv(img):
 
 
 def _hsv_to_rgb(img):
+    """Arithmetic (branch-free) HSV→RGB: channel(n) = v − v·s·clamp(min(k,
+    4−k), 0, 1) with k = (n + 6h) mod 6 — identical to the 6-sector
+    piecewise form but pure VPU math (the jnp.choose formulation lowered to
+    per-pixel gathers, which dominated the whole augmentation pipeline on
+    TPU)."""
     h, s, v = img[0], img[1], img[2]
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
-    return jnp.stack([r, g, b])
+
+    def channel(n):
+        k = jnp.mod(n + h * 6.0, 6.0)
+        return v - v * s * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return jnp.stack([channel(5.0), channel(3.0), channel(1.0)])
 
 
 def _color_jitter(rng, img, brightness, contrast, saturation, hue):
