@@ -57,3 +57,33 @@ def test_onecycle_pct_start_01_matches_torch():
     f = onecycle(0.01, total, pct_start=0.1)
     ours = [float(f(s)) for s in range(total)]
     np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=1e-5)
+
+
+def test_hue_shift_matches_colorsys(rng):
+    """The branch-free arithmetic HSV path must match the stdlib colorsys
+    round trip (the piecewise 6-sector formula) per pixel."""
+    import colorsys
+
+    from cnn_pde_tpu.data.augment import _hsv_to_rgb, _rgb_to_hsv
+
+    img = rng.random((3, 8, 8)).astype(np.float32)
+    dh = 0.07
+    hsv = _rgb_to_hsv(jnp.asarray(img))
+    hsv = hsv.at[0].set((hsv[0] + dh) % 1.0)
+    ours = np.asarray(jnp.clip(_hsv_to_rgb(hsv), 0.0, 1.0))
+
+    ref = np.empty_like(img)
+    for i in range(8):
+        for j in range(8):
+            h, s, v = colorsys.rgb_to_hsv(*img[:, i, j])
+            ref[:, i, j] = colorsys.hsv_to_rgb((h + dh) % 1.0, s, v)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_hsv_roundtrip_identity(rng):
+    from cnn_pde_tpu.data.augment import _hsv_to_rgb, _rgb_to_hsv
+
+    img = jnp.asarray(rng.random((3, 16, 16)).astype(np.float32))
+    back = _hsv_to_rgb(_rgb_to_hsv(img))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(img),
+                               rtol=1e-5, atol=1e-6)
