@@ -93,8 +93,10 @@ def fused_multiscale_evolve(u, branch_params, *, dts, steps_list, dxs, dys,
         act5 = act.reshape(K, 1, 1, 1, 1)
         # channel mixing (identity for exhausted branches)
         mix_eff = act[:, None, None] * mix + (1 - act[:, None, None]) * eye
-        U = jnp.einsum("kij,kbjhw->kbihw", mix_eff, U,
-                       precision=jax.lax.Precision.HIGHEST)
+        # broadcast multiply-reduce instead of a degenerate C=3 einsum —
+        # exact f32, no whole-tensor layout transposes (see diffusion._mix)
+        U = jnp.sum(mix_eff[:, None, :, :, None, None] *
+                    U[:, :, None, :, :, :], axis=3)
         # x (dt/2)
         alpha = coeff(ab, at, t3[:, :1])
         U = _masked_sweep(U, alpha, dtfac_x, act5, eps)
