@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--steps", type=int, default=None,
                     help="cap train steps per epoch (smoke runs)")
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-backend", default="pickle",
+                    choices=["pickle", "orbax"])
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quiet", action="store_true")
@@ -99,6 +101,7 @@ def main():
     t0 = time.time()
     result = trainer.fit(state, dataset, verbose=not args.quiet,
                          checkpoint_dir=args.checkpoint_dir,
+                         checkpoint_backend=args.checkpoint_backend,
                          param_stats_fn=stats_fn)
     print(json.dumps({
         "preset": preset.name,

@@ -2,8 +2,18 @@
 emotion_recognition.py:363 and has no resume path — this module does both,
 including optimizer state and step counter).
 
-Orbax is used when available; a msgpack fallback (flax.serialization) keeps the
-module dependency-light."""
+Two interchangeable on-disk backends:
+  * ``pickle``  — single-file numpy payload (default; dependency-light,
+                  atomic via tmp+rename);
+  * ``orbax``   — orbax.checkpoint PyTree directory format (async-capable,
+                  the production JAX ecosystem standard; multi-host-aware).
+                  Leaves are stored FLAT (keyed "000", "001", …) because
+                  orbax does not round-trip custom pytree nodes (optax's
+                  namedtuple states); ``restore_state`` unflattens against
+                  the live TrainState's treedef.
+The backend is auto-detected on load, so checkpoints written either way
+restore through the same ``restore_state``.
+"""
 
 from __future__ import annotations
 
@@ -15,20 +25,32 @@ import numpy as np
 
 __all__ = ["save_checkpoint", "load_checkpoint", "restore_state"]
 
+_COMPONENTS = ("params", "model_state", "opt_state")
+
 
 def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(directory, state, tag="last"):
+def _flat_dict(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return {f"{i:03d}": np.asarray(l) for i, l in enumerate(leaves)}
+
+
+def save_checkpoint(directory, state, tag="last", backend="pickle"):
     """Save params + model_state (BN stats) + opt_state + step."""
     os.makedirs(directory, exist_ok=True)
-    payload = {
-        "params": _to_numpy(state.params),
-        "model_state": _to_numpy(state.model_state),
-        "opt_state": _to_numpy(state.opt_state),
-        "step": int(state.step),
-    }
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        payload = {c: _flat_dict(getattr(state, c)) for c in _COMPONENTS}
+        payload = {c: v for c, v in payload.items() if v}  # orbax: no empties
+        payload["step"] = int(state.step)
+        path = os.path.abspath(os.path.join(directory, f"{tag}.orbax"))
+        ocp.PyTreeCheckpointer().save(path, payload, force=True)
+        return path
+    payload = {c: _to_numpy(getattr(state, c)) for c in _COMPONENTS}
+    payload["step"] = int(state.step)
     path = os.path.join(directory, f"{tag}.ckpt")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -38,22 +60,39 @@ def save_checkpoint(directory, state, tag="last"):
 
 
 def load_checkpoint(directory, tag="last"):
-    path = os.path.join(directory, f"{tag}.ckpt")
-    with open(path, "rb") as f:
+    """Load a checkpoint written by either backend (auto-detected).
+    Pickle payloads hold full trees; orbax payloads hold flat leaf dicts
+    (consumed by restore_state)."""
+    orbax_path = os.path.abspath(os.path.join(directory, f"{tag}.orbax"))
+    pickle_path = os.path.join(directory, f"{tag}.ckpt")
+    if os.path.isdir(orbax_path) and not os.path.exists(pickle_path):
+        import orbax.checkpoint as ocp
+
+        payload = dict(ocp.PyTreeCheckpointer().restore(orbax_path))
+        payload["step"] = int(np.asarray(payload["step"]))
+        payload["_flat"] = True
+        return payload
+    with open(pickle_path, "rb") as f:
         return pickle.load(f)
+
+
+def _restore_tree(target, stored, flat):
+    if flat:
+        leaves = [jax.numpy.asarray(stored[k])
+                  for k in sorted(stored)] if stored else []
+        treedef = jax.tree_util.tree_structure(target)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+    return jax.tree_util.tree_map(
+        lambda t, s: jax.numpy.asarray(s), target, stored)
 
 
 def restore_state(state, directory, tag="last"):
     """Restore in place into a TrainState created with the same model/optimizer
     (resume path — absent in the reference)."""
     payload = load_checkpoint(directory, tag)
-    state.params = jax.tree_util.tree_map(
-        lambda t, s: jax.numpy.asarray(s), state.params, payload["params"])
-    state.model_state = jax.tree_util.tree_map(
-        lambda t, s: jax.numpy.asarray(s), state.model_state,
-        payload["model_state"])
-    state.opt_state = jax.tree_util.tree_map(
-        lambda t, s: jax.numpy.asarray(s), state.opt_state,
-        payload["opt_state"])
+    flat = payload.get("_flat", False)
+    for c in _COMPONENTS:
+        stored = payload.get(c, {} if flat else getattr(state, c))
+        setattr(state, c, _restore_tree(getattr(state, c), stored, flat))
     state.step = payload["step"]
     return state

@@ -220,7 +220,8 @@ class Trainer:
                 "labels": np.concatenate(labels_all) if labels_all else np.array([])}
 
     def fit(self, state: TrainState, dataset, *, verbose=True,
-            checkpoint_dir=None, param_stats_fn=None):
+            checkpoint_dir=None, checkpoint_backend="pickle",
+            param_stats_fn=None):
         """Full training run with eval cadence, best-acc tracking, early
         stopping and optional best-model checkpointing (the reference's only
         checkpoint: emotion_recognition.py:359-363)."""
@@ -241,7 +242,8 @@ class Trainer:
                     patience_count = 0
                     if checkpoint_dir is not None:
                         from .checkpoint import save_checkpoint
-                        save_checkpoint(checkpoint_dir, state, tag="best")
+                        save_checkpoint(checkpoint_dir, state, tag="best",
+                                        backend=checkpoint_backend)
                 else:
                     patience_count += 1
                 if (cfg.early_stop_patience is not None

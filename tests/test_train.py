@@ -142,3 +142,30 @@ def test_fit_lifecycle_early_stop_and_best_checkpoint(key, tmp_path):
     restore_state(state2, str(tmp_path), tag="best")
     ev = trainer.evaluate(state2, ds)
     assert abs(ev["acc"] - result["best_acc"]) < 1e-6
+
+
+def test_checkpoint_orbax_backend_roundtrip(tmp_path, key):
+    """Orbax-backend checkpoints must restore through the same
+    restore_state, including optax's namedtuple opt_state structure."""
+    pytest.importorskip("orbax.checkpoint")
+    from cnn_pde_tpu.utils.config import get_preset
+
+    model = MNISTClassifier()
+    preset = get_preset("mnist")
+    trainer = Trainer(model, preset.make_train_config(batch_size=8),
+                      preset.make_schedule(steps_per_epoch=10))
+    state = trainer.init_state(key, None)
+    state.step = 17
+    save_checkpoint(str(tmp_path), state, tag="best", backend="orbax")
+
+    state2 = trainer.init_state(jax.random.PRNGKey(99), None)
+    restore_state(state2, str(tmp_path), tag="best")
+    assert state2.step == 17
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(state2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert jax.tree_util.tree_structure(state2.opt_state) == \
+        jax.tree_util.tree_structure(state.opt_state)
