@@ -23,6 +23,14 @@ import jax.numpy as jnp
 __all__ = ["AugmentSpec", "build_augment_fn", "build_normalize_fn"]
 
 
+def _tri(coords, n):
+    """Bilinear tap weights tri(d)=max(0, 1−|d|) of fractional source
+    coordinates against n integer taps (shared by the 2-D warp and the
+    separable resize-crop paths)."""
+    taps = jnp.arange(n, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - taps))
+
+
 def _bilinear_sample(img, coords_y, coords_x):
     """Bilinear sampling of a (C, H, W) image at (H', W') coordinate grids
     with zero fill outside — TPU-first: instead of a gather (map_coordinates
@@ -32,10 +40,8 @@ def _bilinear_sample(img, coords_y, coords_x):
     einsums that ride the MXU; out-of-range taps drop weight, which is
     exactly the cval=0 convention."""
     C, H, W = img.shape
-    ky = jnp.arange(H, dtype=jnp.float32)
-    kx = jnp.arange(W, dtype=jnp.float32)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(coords_y[..., None] - ky))  # (H',W',H)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(coords_x[..., None] - kx))  # (H',W',W)
+    wy = _tri(coords_y, H)                                   # (H', W', H)
+    wx = _tri(coords_x, W)                                   # (H', W', W)
     t = jnp.einsum("ijk,ckl->cijl", wy, img,
                    precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("cijl,ijl->cij", t, wx,
@@ -91,10 +97,8 @@ def _resize_crop(rng, img, resize_to):
     ys = (jnp.arange(H, dtype=jnp.float32) + oy) * scale
     xs = (jnp.arange(W, dtype=jnp.float32) + ox) * scale
     # the grid is separable (ys ⊗ xs): 1-D tri weights per axis, two matmuls
-    ay = jnp.maximum(0.0, 1.0 - jnp.abs(
-        ys[:, None] - jnp.arange(H, dtype=jnp.float32)))   # (H, H) src taps
-    ax = jnp.maximum(0.0, 1.0 - jnp.abs(
-        xs[:, None] - jnp.arange(W, dtype=jnp.float32)))   # (W, W)
+    ay = _tri(ys, H)                                       # (H, H) src taps
+    ax = _tri(xs, W)                                       # (W, W)
     return jnp.einsum("ik,ckl,jl->cij", ay, img, ax,
                       precision=jax.lax.Precision.HIGHEST)
 

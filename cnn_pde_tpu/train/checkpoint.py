@@ -34,7 +34,7 @@ def _to_numpy(tree):
 
 def _flat_dict(tree):
     leaves = jax.tree_util.tree_leaves(tree)
-    return {f"{i:03d}": np.asarray(l) for i, l in enumerate(leaves)}
+    return {f"{i:06d}": np.asarray(l) for i, l in enumerate(leaves)}
 
 
 def save_checkpoint(directory, state, tag="last", backend="pickle"):
@@ -65,7 +65,23 @@ def load_checkpoint(directory, tag="last"):
     (consumed by restore_state)."""
     orbax_path = os.path.abspath(os.path.join(directory, f"{tag}.orbax"))
     pickle_path = os.path.join(directory, f"{tag}.ckpt")
-    if os.path.isdir(orbax_path) and not os.path.exists(pickle_path):
+    have_orbax = os.path.isdir(orbax_path)
+    have_pickle = os.path.exists(pickle_path)
+    if have_orbax and have_pickle:
+        # both backends present (e.g. the backend flag changed between
+        # runs): take the newer one rather than silently preferring a
+        # stale file
+        use_orbax = os.path.getmtime(orbax_path) >= os.path.getmtime(
+            pickle_path)
+        import warnings
+
+        warnings.warn(
+            f"checkpoint dir {directory!r} holds both {tag}.ckpt and "
+            f"{tag}.orbax; loading the newer "
+            f"({'orbax' if use_orbax else 'pickle'})", stacklevel=2)
+    else:
+        use_orbax = have_orbax
+    if use_orbax:
         import orbax.checkpoint as ocp
 
         payload = dict(ocp.PyTreeCheckpointer().restore(orbax_path))
@@ -79,7 +95,7 @@ def load_checkpoint(directory, tag="last"):
 def _restore_tree(target, stored, flat):
     if flat:
         leaves = [jax.numpy.asarray(stored[k])
-                  for k in sorted(stored)] if stored else []
+                  for k in sorted(stored, key=int)] if stored else []
         treedef = jax.tree_util.tree_structure(target)
         return jax.tree_util.tree_unflatten(treedef, leaves)
     return jax.tree_util.tree_map(
@@ -92,7 +108,10 @@ def restore_state(state, directory, tag="last"):
     payload = load_checkpoint(directory, tag)
     flat = payload.get("_flat", False)
     for c in _COMPONENTS:
-        stored = payload.get(c, {} if flat else getattr(state, c))
+        # flat (orbax) payloads legitimately drop EMPTY components at save
+        # time; pickle payloads must contain every component — a missing
+        # key means a truncated/foreign file and must fail loudly
+        stored = payload.get(c, {}) if flat else payload[c]
         setattr(state, c, _restore_tree(getattr(state, c), stored, flat))
     state.step = payload["step"]
     return state

@@ -169,3 +169,31 @@ def test_checkpoint_orbax_backend_roundtrip(tmp_path, key):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert jax.tree_util.tree_structure(state2.opt_state) == \
         jax.tree_util.tree_structure(state.opt_state)
+
+
+def test_checkpoint_mixed_backends_prefers_newer(tmp_path, key):
+    """When a dir holds both backend formats (backend flag changed between
+    runs), restore must take the NEWER checkpoint, not silently prefer
+    pickle."""
+    import os
+    import time as _time
+
+    pytest.importorskip("orbax.checkpoint")
+    from cnn_pde_tpu.utils.config import get_preset
+
+    model = MNISTClassifier()
+    preset = get_preset("mnist")
+    trainer = Trainer(model, preset.make_train_config(batch_size=8),
+                      preset.make_schedule(steps_per_epoch=10))
+    state = trainer.init_state(key, None)
+    state.step = 1
+    save_checkpoint(str(tmp_path), state, tag="best")            # pickle
+    state.step = 99
+    p = save_checkpoint(str(tmp_path), state, tag="best", backend="orbax")
+    # ensure a strictly newer mtime even on coarse filesystems
+    os.utime(p, (os.path.getatime(p), _time.time() + 2))
+
+    state2 = trainer.init_state(jax.random.PRNGKey(5), None)
+    with pytest.warns(UserWarning, match="holds both"):
+        restore_state(state2, str(tmp_path), tag="best")
+    assert state2.step == 99
