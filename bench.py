@@ -97,6 +97,9 @@ def main():
         "value": round(img_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 2),
+        # the BASELINE.md primary metric pairs throughput with epoch time
+        # (50k-image CIFAR-10 epoch; reference CPU epoch ≈ 69.5 min)
+        "epoch_s": round(50_000 / img_per_sec, 2),
     }))
 
 
