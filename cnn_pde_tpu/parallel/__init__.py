@@ -8,7 +8,8 @@ from .dist_tridiag import (
 )
 from .mesh import NamedSharding, P, dp_shardings, make_mesh
 from .multihost import initialize, is_multihost, local_batch_slice
-from .spatial import adi_strang_step_spatial, ftcs_evolve_spatial
+from .spatial import (adi_strang_step_spatial, ftcs_evolve_spatial,
+                      laplacian_step_spatial)
 from .spatial_model import SpatialFTCSClassifier
 
 __all__ = [
@@ -27,5 +28,6 @@ __all__ = [
     "local_batch_slice",
     "adi_strang_step_spatial",
     "ftcs_evolve_spatial",
+    "laplacian_step_spatial",
     "SpatialFTCSClassifier",
 ]

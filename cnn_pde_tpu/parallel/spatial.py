@@ -27,8 +27,10 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.adi import sweep_last_axis
+from ..ops.stencil import laplacian
 
-__all__ = ["ftcs_evolve_spatial", "adi_strang_step_spatial"]
+__all__ = ["ftcs_evolve_spatial", "adi_strang_step_spatial",
+           "laplacian_step_spatial"]
 
 AXIS = "spatial"
 
@@ -83,6 +85,40 @@ def ftcs_evolve_spatial(mesh: Mesh, u, alpha, beta, nt: int):
         out_specs=P(None, AXIS, None),
     )
     return fn(u, alpha, beta)
+
+
+def _laplacian_local(u, coeff, *, dt, axis_name):
+    """shard_map body for the K8 conv-Laplacian step (tiny_imagenet.py:53-72)
+    with H sharded: one ppermute halo row per neighbor, zero rows at the
+    global edges (the reference's zero padding ⇒ Dirichlet-0 exterior)."""
+    S = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    zero_row = jnp.zeros_like(u[:, :, :1, :])
+    if S > 1:
+        from_prev = lax.ppermute(u[:, :, -1:, :], axis_name,
+                                 [(i, i + 1) for i in range(S - 1)])
+        from_next = lax.ppermute(u[:, :, :1, :], axis_name,
+                                 [(i + 1, i) for i in range(S - 1)])
+        top = jnp.where(idx == 0, zero_row, from_prev)
+        bot = jnp.where(idx == S - 1, zero_row, from_next)
+    else:
+        top, bot = zero_row, zero_row
+    up = jnp.concatenate([top, u, bot], axis=2)      # (B, C, Hl+2, W)
+    lap = laplacian(up)[:, :, 1:-1, :]               # interior rows only
+    return u + coeff[None, :, None, None] * dt * lap
+
+
+def laplacian_step_spatial(mesh: Mesh, u, coeff, *, dt):
+    """One explicit conv-Laplacian step (K8 semantics, zero-pad exterior)
+    with H sharded over the mesh's 'spatial' axis.
+    u: (B, C, H, W) global; coeff: (C,) replicated."""
+    fn = jax.shard_map(
+        partial(_laplacian_local, dt=dt, axis_name=AXIS),
+        mesh=mesh,
+        in_specs=(P(None, None, AXIS, None), P(None)),
+        out_specs=P(None, None, AXIS, None),
+    )
+    return fn(u, coeff)
 
 
 def _swap_h_to_w(x, axis_name):

@@ -213,3 +213,20 @@ def test_adi_partitioned_grads_match_unsharded(rng):
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5,
             err_msg=f"partitioned-ADI grad mismatch for {name}")
+
+
+def test_laplacian_spatial_matches_unsharded(rng):
+    """Sharded conv-Laplacian step (ppermute halo rows, zero global edges)
+    == the unsharded K8 kernel."""
+    from cnn_pde_tpu.ops.stencil import laplacian_step
+    from cnn_pde_tpu.parallel import laplacian_step_spatial
+
+    mesh = make_mesh(data=1, spatial=4)
+    B, C, H, W = 2, 3, 64, 64
+    u = jnp.asarray(rng.standard_normal((B, C, H, W)).astype(np.float32))
+    coeff = jnp.asarray(rng.random(C).astype(np.float32) * 0.1)
+
+    ref = laplacian_step(u, coeff, dt=0.01)
+    out = laplacian_step_spatial(mesh, u, coeff, dt=0.01)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
