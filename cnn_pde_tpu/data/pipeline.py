@@ -76,6 +76,19 @@ class ArrayDataset:
             idx = perm[i : i + batch_size]
             yield self.train_images[idx], self.train_labels[idx]
 
+    def train_arrays(self):
+        """Full raw train split, for the Trainer's device-resident epoch mode
+        (TrainConfig.device_epoch): the whole split moves to HBM once and the
+        epoch's shuffling/batching/augmentation all happen on device."""
+        return self.train_images, self.train_labels
+
+    def eval_arrays(self, split="test"):
+        """Full normalized eval split (the deterministic test transform:
+        ToTensor + Normalize), for the Trainer's device-resident eval."""
+        images = self.test_images if split == "test" else self.train_images
+        labels = self.test_labels if split == "test" else self.train_labels
+        return self._normalize(images), labels
+
     def eval_batches(self, batch_size, split="test"):
         images = self.test_images if split == "test" else self.train_images
         labels = self.test_labels if split == "test" else self.train_labels

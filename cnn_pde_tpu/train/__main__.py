@@ -37,6 +37,9 @@ def main():
                     help="data-parallel over all visible devices")
     ap.add_argument("--native-loader", action="store_true",
                     help="use the C++ prefetching batcher")
+    ap.add_argument("--device-epoch", action="store_true",
+                    help="run each epoch as ONE jit dispatch (lax.scan over "
+                         "all batches; dataset resident in HBM)")
     args = ap.parse_args()
 
     from ..data import build_augment_fn, load_dataset
@@ -65,7 +68,9 @@ def main():
     schedule = preset.make_schedule(steps_per_epoch)
     config = preset.make_train_config(epochs=epochs, batch_size=batch_size,
                                       seed=args.seed,
-                                      native_loader=args.native_loader)
+                                      native_loader=args.native_loader,
+                                      device_epoch=args.device_epoch,
+                                      max_steps_per_epoch=args.steps)
     augment_fn = build_augment_fn(preset.augment)
     mesh = None
     if args.dp:

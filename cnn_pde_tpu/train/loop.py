@@ -47,6 +47,8 @@ class TrainConfig:
     log_every: int = 100         # batches between log lines
     seed: int = 0
     native_loader: bool = False  # C++ prefetching batcher (cnn_pde_tpu.native)
+    device_epoch: bool = False   # whole epoch in ONE jit dispatch (lax.scan)
+    max_steps_per_epoch: Optional[int] = None  # cap (smoke runs; device_epoch)
 
     @property
     def eval_bs(self):
@@ -84,6 +86,11 @@ class Trainer:
         self.mesh = mesh
         self._train_step = None
         self._eval_step = None
+        self._epoch_fn = None
+        self._eval_epoch_fn = None
+        self._base_rng = None
+        self._dev_data = None  # (dataset id, device train images/labels)
+        self._dev_eval = {}    # (dataset id, split) -> padded device arrays
 
     # ---------------- initialization ----------------
 
@@ -151,6 +158,104 @@ class Trainer:
         jitted.raw = train_step  # unjitted body (bench wraps it in fori_loop)
         return jitted
 
+    def _make_epoch_fn(self, params_example):
+        """One jitted function running a FULL epoch as a lax.scan over batches.
+
+        The host loop above dispatches once per batch; over a remote tunnel
+        (or any dispatch-latency-bound host) that costs 2-8 ms per step —
+        more than the 0.7-2.7 ms steps themselves (PERF.md).  Here the whole
+        (in-HBM) train split is permuted and batched on device and every step
+        of the epoch runs inside one dispatch.  Numerics are IDENTICAL to the
+        host loop: same host-side permutation, same per-step rng fold_in on
+        the same step numbers (tests assert bit-equality).
+        """
+        if self._train_step is None:
+            self._train_step = self._make_train_step(params_example)
+        raw_step = self._train_step.raw
+        batch = self.config.batch_size
+        mesh = self.mesh
+
+        def epoch_fn(params, model_state, opt_state, step0,
+                     images_all, labels_all, perm, base_rng):
+            nb = perm.shape[0] // batch  # static at trace time
+            sel = perm[: nb * batch]
+            imgs = jnp.take(images_all, sel, axis=0).reshape(
+                (nb, batch) + images_all.shape[1:])
+            labs = jnp.take(labels_all, sel, axis=0).reshape(nb, batch)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                spec = P(None, "data", *([None] * (imgs.ndim - 2)))
+                imgs = jax.lax.with_sharding_constraint(
+                    imgs, NamedSharding(mesh, spec))
+                labs = jax.lax.with_sharding_constraint(
+                    labs, NamedSharding(mesh, P(None, "data")))
+
+            def body(carry, xs):
+                p, m, o, step = carry
+                bi, bl = xs
+                p, m, o, loss, acc = raw_step(p, m, o, step, bi, bl, base_rng)
+                return (p, m, o, step + 1), (loss, acc)
+
+            (params, model_state, opt_state, _), (losses, accs) = jax.lax.scan(
+                body, (params, model_state, opt_state, step0), (imgs, labs))
+            # one (2, nb) array -> ONE host fetch per epoch instead of two
+            return params, model_state, opt_state, jnp.stack([losses, accs])
+
+        if mesh is not None:
+            from ..parallel.mesh import dp_shardings
+
+            _, rep_s = dp_shardings(self.mesh)
+            return jax.jit(epoch_fn, donate_argnums=(0, 1, 2),
+                           in_shardings=(rep_s, rep_s, rep_s, None,
+                                         rep_s, rep_s, rep_s, None),
+                           out_shardings=(rep_s,) * 4)
+        return jax.jit(epoch_fn, donate_argnums=(0, 1, 2))
+
+    def _device_train_arrays(self, dataset):
+        """Cache the full train split in HBM once (raw [0,1] images — the
+        normalize lives in the on-device augment fn, as in the host path)."""
+        if self._dev_data is None or self._dev_data[0] is not id(dataset):
+            images, labels = dataset.train_arrays()
+            self._dev_data = (id(dataset), jnp.asarray(images),
+                              jnp.asarray(labels))
+        return self._dev_data[1], self._dev_data[2]
+
+    def _train_epoch_on_device(self, state: TrainState, dataset, epoch: int,
+                               *, verbose=True):
+        cfg = self.config
+        if self._epoch_fn is None:
+            self._epoch_fn = self._make_epoch_fn(state.params)
+        images_all, labels_all = self._device_train_arrays(dataset)
+        n = images_all.shape[0]
+        if n < cfg.batch_size:
+            return {"loss": 0.0, "acc": 0.0, "time": 0.0}
+        t0 = time.time()
+        # Same permutation stream as ArrayDataset.train_batches(seed+epoch).
+        perm = np.random.default_rng(cfg.seed + epoch).permutation(n)
+        if cfg.max_steps_per_epoch is not None:
+            perm = perm[: cfg.max_steps_per_epoch * cfg.batch_size]
+        if self._base_rng is None:  # eager PRNGKey is a device dispatch
+            self._base_rng = jax.random.PRNGKey(cfg.seed)
+        (state.params, state.model_state, state.opt_state, stats) = \
+            self._epoch_fn(state.params, state.model_state, state.opt_state,
+                           jnp.asarray(state.step, jnp.int32),
+                           images_all, labels_all, jnp.asarray(perm),
+                           self._base_rng)
+        losses, accs = np.asarray(stats)  # the epoch's ONE device->host fetch
+        state.step += losses.shape[0]
+        dt = time.time() - t0
+        if verbose:
+            for bi in range(0, losses.shape[0], cfg.log_every):
+                print(f"Epoch {epoch+1}, Batch {bi}, Loss: {losses[bi]:.4f}, "
+                      f"Acc: {100.0*accs[bi]:.2f}%")
+        avg_loss = float(losses.mean()) if losses.size else 0.0
+        avg_acc = 100.0 * float(accs.mean()) if accs.size else 0.0
+        if verbose:
+            print(f"Epoch {epoch+1} - Loss: {avg_loss:.4f}, "
+                  f"Train Acc: {avg_acc:.2f}%, Time: {dt:.2f}s")
+        return {"loss": avg_loss, "acc": avg_acc, "time": dt}
+
     def _make_eval_step(self):
         model = self.model
 
@@ -170,6 +275,9 @@ class Trainer:
         """dataset: object with .train_batches(batch_size, seed) yielding
         (images, labels) numpy/jnp arrays of fixed shape."""
         cfg = self.config
+        if cfg.device_epoch:
+            return self._train_epoch_on_device(state, dataset, epoch,
+                                               verbose=verbose)
         if self._train_step is None:
             self._train_step = self._make_train_step(state.params)
         t0 = time.time()
@@ -199,7 +307,48 @@ class Trainer:
                   f"Train Acc: {avg_acc:.2f}%, Time: {dt:.2f}s")
         return {"loss": avg_loss, "acc": avg_acc, "time": dt}
 
+    def _evaluate_on_device(self, state: TrainState, dataset, *, split):
+        """Whole eval split in one jit dispatch: pad to a batch multiple,
+        scan batches, mask the padding out of the correct-count."""
+        cfg = self.config
+        key = (id(dataset), split)
+        if self._dev_eval.get(key) is None:
+            images, labels = dataset.eval_arrays(split)
+            n = images.shape[0]
+            bs = cfg.eval_bs
+            nb = -(-n // bs)
+            pad = nb * bs - n
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+            self._dev_eval[key] = (
+                n,
+                jnp.asarray(images.reshape((nb, bs) + images.shape[1:])),
+                np.ascontiguousarray(labels))  # host-side (never shipped)
+        n, images, labels_np = self._dev_eval[key]
+
+        if self._eval_epoch_fn is None:
+            model = self.model
+
+            @jax.jit
+            def eval_epoch(params, model_state, images):
+                def body(carry, imgs):
+                    logits, _ = model.apply(params, model_state, imgs,
+                                            Ctx(train=False))
+                    return carry, jnp.argmax(logits, -1)
+
+                return jax.lax.scan(body, 0, images)[1]
+
+            self._eval_epoch_fn = eval_epoch
+
+        preds = self._eval_epoch_fn(state.params, state.model_state, images)
+        preds = np.asarray(preds).reshape(-1)[:n]  # the ONE fetch
+        return {"acc": 100.0 * float(np.mean(preds == labels_np)) if n else 0.0,
+                "predictions": preds, "labels": labels_np}
+
     def evaluate(self, state: TrainState, dataset, *, split="test"):
+        if (self.config.device_epoch and self.mesh is None
+                and hasattr(dataset, "eval_arrays")):
+            return self._evaluate_on_device(state, dataset, split=split)
         if self._eval_step is None:
             self._eval_step = self._make_eval_step()
         total = 0

@@ -230,3 +230,32 @@ def test_laplacian_spatial_matches_unsharded(rng):
     out = laplacian_step_spatial(mesh, u, coeff, dt=0.01)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_device_epoch_under_dp_mesh(key):
+    """device_epoch + DP mesh: the scanned epoch with batches sharded over
+    'data' must match the single-device device_epoch run."""
+    from cnn_pde_tpu.data import load_dataset
+    from cnn_pde_tpu.models import MNISTClassifier
+    from cnn_pde_tpu.train import TrainConfig, Trainer
+
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=10, synthetic_test_per_class=2)
+    model = MNISTClassifier()
+
+    def run(mesh):
+        cfg = TrainConfig(epochs=1, batch_size=16, log_every=10**9,
+                          device_epoch=True)
+        trainer = Trainer(model, cfg, lambda s: 1e-3, mesh=mesh)
+        state = trainer.init_state(key, None)
+        stats = trainer.train_epoch(state, ds, 0, verbose=False)
+        return state, stats
+
+    s_ref, h_ref = run(None)
+    s_dp, h_dp = run(make_mesh(spatial=1))  # 8-way DP
+    assert s_ref.step == s_dp.step == 6
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-5)
+    assert abs(h_ref["loss"] - h_dp["loss"]) < 1e-4

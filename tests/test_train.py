@@ -197,3 +197,65 @@ def test_checkpoint_mixed_backends_prefers_newer(tmp_path, key):
     with pytest.warns(UserWarning, match="holds both"):
         restore_state(state2, str(tmp_path), tag="best")
     assert state2.step == 99
+
+
+def test_device_epoch_matches_host_loop(key):
+    """TrainConfig.device_epoch (whole epoch in one lax.scan dispatch) must
+    reproduce the per-batch host loop: same permutation stream, same step
+    rngs, same batches -> (near-)identical parameters and epoch stats."""
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=12, synthetic_test_per_class=4)
+    model = MNISTClassifier()
+
+    def run(device_epoch):
+        cfg = TrainConfig(epochs=2, batch_size=32, log_every=10**9,
+                          device_epoch=device_epoch)
+        trainer = Trainer(model, cfg, lambda s: 1e-3)
+        state = trainer.init_state(key, None)
+        stats = [trainer.train_epoch(state, ds, e, verbose=False)
+                 for e in range(2)]
+        return state, stats
+
+    s_host, h_host = run(False)
+    s_dev, h_dev = run(True)
+    assert s_host.step == s_dev.step
+    for a, b in zip(jax.tree_util.tree_leaves(s_host.params),
+                    jax.tree_util.tree_leaves(s_dev.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-6)
+    for hh, hd in zip(h_host, h_dev):
+        assert abs(hh["loss"] - hd["loss"]) < 1e-5
+        assert abs(hh["acc"] - hd["acc"]) < 1e-3
+
+
+def test_device_epoch_small_dataset_noop(key):
+    """A train split smaller than one batch must be a safe no-op."""
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=1, synthetic_test_per_class=1)
+    model = MNISTClassifier()
+    cfg = TrainConfig(epochs=1, batch_size=64, device_epoch=True)
+    trainer = Trainer(model, cfg, lambda s: 1e-3)
+    state = trainer.init_state(key, None)
+    stats = trainer.train_epoch(state, ds, 0, verbose=False)
+    assert stats["time"] == 0.0 and state.step == 0
+
+
+def test_device_eval_matches_host_eval(key):
+    """The scanned one-dispatch eval (device_epoch mode) must produce the
+    same accuracy and predictions as the per-batch host eval, including the
+    padded last batch (test split not a multiple of eval_bs)."""
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=6, synthetic_test_per_class=5)
+    assert ds.test_images.shape[0] % 16 != 0  # exercises the padding path
+    model = MNISTClassifier()
+    state = Trainer(model, TrainConfig(batch_size=16), lambda s: 1e-3
+                    ).init_state(key, None)
+
+    ev_host = Trainer(model, TrainConfig(batch_size=16), lambda s: 1e-3
+                      ).evaluate(state, ds)
+    ev_dev = Trainer(model, TrainConfig(batch_size=16, device_epoch=True),
+                     lambda s: 1e-3).evaluate(state, ds)
+    assert ev_host["acc"] == ev_dev["acc"]
+    np.testing.assert_array_equal(ev_host["predictions"],
+                                  ev_dev["predictions"])
+    np.testing.assert_array_equal(ev_host["labels"], ev_dev["labels"])
