@@ -215,9 +215,11 @@ class Trainer:
     def _device_train_arrays(self, dataset):
         """Cache the full train split in HBM once (raw [0,1] images — the
         normalize lives in the on-device augment fn, as in the host path)."""
-        if self._dev_data is None or self._dev_data[0] is not id(dataset):
+        # key on the dataset OBJECT (strong ref — id() alone can be reused
+        # for a new dataset allocated after the old one is collected)
+        if self._dev_data is None or self._dev_data[0] is not dataset:
             images, labels = dataset.train_arrays()
-            self._dev_data = (id(dataset), jnp.asarray(images),
+            self._dev_data = (dataset, jnp.asarray(images),
                               jnp.asarray(labels))
         return self._dev_data[1], self._dev_data[2]
 
@@ -312,7 +314,8 @@ class Trainer:
         scan batches, mask the padding out of the correct-count."""
         cfg = self.config
         key = (id(dataset), split)
-        if self._dev_eval.get(key) is None:
+        if (self._dev_eval.get(key) is None
+                or self._dev_eval[key][0] is not dataset):
             images, labels = dataset.eval_arrays(split)
             n = images.shape[0]
             bs = cfg.eval_bs
@@ -321,10 +324,11 @@ class Trainer:
             images = np.concatenate(
                 [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
             self._dev_eval[key] = (
+                dataset,  # strong ref pins the id
                 n,
                 jnp.asarray(images.reshape((nb, bs) + images.shape[1:])),
                 np.ascontiguousarray(labels))  # host-side (never shipped)
-        n, images, labels_np = self._dev_eval[key]
+        _, n, images, labels_np = self._dev_eval[key]
 
         if self._eval_epoch_fn is None:
             model = self.model

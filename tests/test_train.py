@@ -259,3 +259,31 @@ def test_device_eval_matches_host_eval(key):
     np.testing.assert_array_equal(ev_host["predictions"],
                                   ev_dev["predictions"])
     np.testing.assert_array_equal(ev_host["labels"], ev_dev["labels"])
+
+
+def test_device_epoch_bn_model_matches_host_loop(key):
+    """BN running stats thread through the scan carry: a BN+dropout model
+    (Fashion head) must produce the same params AND model_state either way."""
+    from cnn_pde_tpu.models import FashionClassifier
+
+    ds = load_dataset("fashion_mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=8, synthetic_test_per_class=2)
+    model = FashionClassifier()
+
+    def run(device_epoch):
+        cfg = TrainConfig(epochs=1, batch_size=16, log_every=10**9,
+                          device_epoch=device_epoch)
+        trainer = Trainer(model, cfg, lambda s: 1e-3)
+        state = trainer.init_state(key, None)
+        trainer.train_epoch(state, ds, 0, verbose=False)
+        return state
+
+    s_host, s_dev = run(False), run(True)
+    for a, b in zip(jax.tree_util.tree_leaves(s_host.params),
+                    jax.tree_util.tree_leaves(s_dev.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_host.model_state),
+                    jax.tree_util.tree_leaves(s_dev.model_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-6)

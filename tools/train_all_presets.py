@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--train-per-class", type=int, default=60)
     ap.add_argument("--test-per-class", type=int, default=20)
     ap.add_argument("--presets", nargs="*", default=None)
+    ap.add_argument("--device-epoch", action="store_true",
+                    help="one jit dispatch per epoch (TrainConfig.device_epoch)")
     args = ap.parse_args()
 
     from cnn_pde_tpu.data import build_augment_fn, load_dataset
@@ -45,7 +47,8 @@ def main():
         trainer = Trainer(
             model,
             preset.make_train_config(epochs=args.epochs, batch_size=bs,
-                                     log_every=10**9),
+                                     log_every=10**9,
+                                     device_epoch=args.device_epoch),
             preset.make_schedule(ds.steps_for_batch(bs)),
             augment_fn=build_augment_fn(preset.augment))
         state = trainer.init_state(jax.random.PRNGKey(0), None)
