@@ -31,7 +31,11 @@ def main():
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--output-dir", default="reports")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu); see train CLI")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from .data import load_dataset
     from .models import MODEL_REGISTRY

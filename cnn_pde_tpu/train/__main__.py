@@ -40,7 +40,14 @@ def main():
     ap.add_argument("--device-epoch", action="store_true",
                     help="run each epoch as ONE jit dispatch (lax.scan over "
                          "all batches; dataset resident in HBM)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu). Note: the env var "
+                         "JAX_PLATFORMS is overridden by preregistered PJRT "
+                         "plugins; this flag applies jax.config.update before "
+                         "any device use, which wins")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from ..data import build_augment_fn, load_dataset
     from ..models import MODEL_REGISTRY
@@ -84,18 +91,6 @@ def main():
     if args.resume and args.checkpoint_dir:
         state = restore_state(state, args.checkpoint_dir, tag="best")
         print(f"Resumed from step {state.step}")
-
-    if args.steps:
-        # cap batches per epoch by wrapping the dataset iterator
-        orig = dataset.train_batches
-
-        def capped(bs, **kwargs):
-            for i, b in enumerate(orig(bs, **kwargs)):
-                if i >= args.steps:
-                    break
-                yield b
-
-        dataset.train_batches = capped
 
     def stats_fn(params, epoch):
         stats = pde_param_stats(params)

@@ -89,8 +89,9 @@ class Trainer:
         self._epoch_fn = None
         self._eval_epoch_fn = None
         self._base_rng = None
-        self._dev_data = None  # (dataset id, device train images/labels)
-        self._dev_eval = {}    # (dataset id, split) -> padded device arrays
+        self._warned_native = False
+        self._dev_data = None  # (dataset, device train images/labels)
+        self._dev_eval = {}    # split -> (dataset, n, padded images, labels)
 
     # ---------------- initialization ----------------
 
@@ -164,10 +165,13 @@ class Trainer:
         The host loop above dispatches once per batch; over a remote tunnel
         (or any dispatch-latency-bound host) that costs 2-8 ms per step —
         more than the 0.7-2.7 ms steps themselves (PERF.md).  Here the whole
-        (in-HBM) train split is permuted and batched on device and every step
-        of the epoch runs inside one dispatch.  Numerics are IDENTICAL to the
-        host loop: same host-side permutation, same per-step rng fold_in on
-        the same step numbers (tests assert bit-equality).
+        (in-HBM) train split stays resident and each scan step gathers its
+        batch by permutation indices (batch-sized gather output — no second
+        full-split copy in HBM).  Numerics match the host loop — same
+        host-side permutation stream, same per-step rng fold_in on the same
+        step numbers; parameters agree to float-reassociation level (~1e-6,
+        tested), not bit-for-bit (XLA fuses the scan body differently from
+        the standalone step).
         """
         if self._train_step is None:
             self._train_step = self._make_train_step(params_example)
@@ -178,27 +182,25 @@ class Trainer:
         def epoch_fn(params, model_state, opt_state, step0,
                      images_all, labels_all, perm, base_rng):
             nb = perm.shape[0] // batch  # static at trace time
-            sel = perm[: nb * batch]
-            imgs = jnp.take(images_all, sel, axis=0).reshape(
-                (nb, batch) + images_all.shape[1:])
-            labs = jnp.take(labels_all, sel, axis=0).reshape(nb, batch)
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+            idx = perm[: nb * batch].reshape(nb, batch)
 
-                spec = P(None, "data", *([None] * (imgs.ndim - 2)))
-                imgs = jax.lax.with_sharding_constraint(
-                    imgs, NamedSharding(mesh, spec))
-                labs = jax.lax.with_sharding_constraint(
-                    labs, NamedSharding(mesh, P(None, "data")))
-
-            def body(carry, xs):
+            def body(carry, bidx):
                 p, m, o, step = carry
-                bi, bl = xs
+                bi = jnp.take(images_all, bidx, axis=0)
+                bl = jnp.take(labels_all, bidx, axis=0)
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    spec = P("data", *([None] * (bi.ndim - 1)))
+                    bi = jax.lax.with_sharding_constraint(
+                        bi, NamedSharding(mesh, spec))
+                    bl = jax.lax.with_sharding_constraint(
+                        bl, NamedSharding(mesh, P("data")))
                 p, m, o, loss, acc = raw_step(p, m, o, step, bi, bl, base_rng)
                 return (p, m, o, step + 1), (loss, acc)
 
             (params, model_state, opt_state, _), (losses, accs) = jax.lax.scan(
-                body, (params, model_state, opt_state, step0), (imgs, labs))
+                body, (params, model_state, opt_state, step0), idx)
             # one (2, nb) array -> ONE host fetch per epoch instead of two
             return params, model_state, opt_state, jnp.stack([losses, accs])
 
@@ -277,7 +279,14 @@ class Trainer:
         """dataset: object with .train_batches(batch_size, seed) yielding
         (images, labels) numpy/jnp arrays of fixed shape."""
         cfg = self.config
-        if cfg.device_epoch:
+        if cfg.device_epoch and hasattr(dataset, "train_arrays"):
+            if cfg.native_loader and not self._warned_native:
+                import warnings
+
+                warnings.warn("device_epoch=True bypasses the native loader "
+                              "(batching happens on device); native_loader "
+                              "is ignored.")
+                self._warned_native = True
             return self._train_epoch_on_device(state, dataset, epoch,
                                                verbose=verbose)
         if self._train_step is None:
@@ -289,6 +298,9 @@ class Trainer:
         for bi, (images, labels) in enumerate(
                 dataset.train_batches(cfg.batch_size, seed=cfg.seed + epoch,
                                       **batch_kwargs)):
+            if (cfg.max_steps_per_epoch is not None
+                    and bi >= cfg.max_steps_per_epoch):
+                break
             (state.params, state.model_state, state.opt_state, loss, acc) = \
                 self._train_step(state.params, state.model_state,
                                  state.opt_state, state.step,
@@ -311,11 +323,12 @@ class Trainer:
 
     def _evaluate_on_device(self, state: TrainState, dataset, *, split):
         """Whole eval split in one jit dispatch: pad to a batch multiple,
-        scan batches, mask the padding out of the correct-count."""
+        scan batches, fetch only the predictions (padding sliced off on
+        host).  One cache slot per split, replaced when the dataset object
+        changes (no unbounded HBM pinning across datasets)."""
         cfg = self.config
-        key = (id(dataset), split)
-        if (self._dev_eval.get(key) is None
-                or self._dev_eval[key][0] is not dataset):
+        cached = self._dev_eval.get(split)
+        if cached is None or cached[0] is not dataset:
             images, labels = dataset.eval_arrays(split)
             n = images.shape[0]
             bs = cfg.eval_bs
@@ -323,35 +336,51 @@ class Trainer:
             pad = nb * bs - n
             images = np.concatenate(
                 [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
-            self._dev_eval[key] = (
-                dataset,  # strong ref pins the id
+            self._dev_eval[split] = (
+                dataset,  # replaced (not accumulated) when the dataset changes
                 n,
                 jnp.asarray(images.reshape((nb, bs) + images.shape[1:])),
                 np.ascontiguousarray(labels))  # host-side (never shipped)
-        _, n, images, labels_np = self._dev_eval[key]
+        _, n, images, labels_np = self._dev_eval[split]
 
         if self._eval_epoch_fn is None:
             model = self.model
+            mesh = self.mesh
 
-            @jax.jit
             def eval_epoch(params, model_state, images):
                 def body(carry, imgs):
+                    if mesh is not None:
+                        from jax.sharding import (NamedSharding,
+                                                  PartitionSpec as P)
+
+                        imgs = jax.lax.with_sharding_constraint(
+                            imgs, NamedSharding(
+                                mesh, P("data", *([None] * (imgs.ndim - 1)))))
                     logits, _ = model.apply(params, model_state, imgs,
                                             Ctx(train=False))
                     return carry, jnp.argmax(logits, -1)
 
                 return jax.lax.scan(body, 0, images)[1]
 
-            self._eval_epoch_fn = eval_epoch
+            if mesh is not None:
+                from ..parallel.mesh import dp_shardings
+
+                _, rep_s = dp_shardings(mesh)
+                self._eval_epoch_fn = jax.jit(
+                    eval_epoch, in_shardings=(rep_s, rep_s, rep_s),
+                    out_shardings=rep_s)
+            else:
+                self._eval_epoch_fn = jax.jit(eval_epoch)
 
         preds = self._eval_epoch_fn(state.params, state.model_state, images)
         preds = np.asarray(preds).reshape(-1)[:n]  # the ONE fetch
-        return {"acc": 100.0 * float(np.mean(preds == labels_np)) if n else 0.0,
+        # integer correct/total — matches the host eval path bit-for-bit
+        correct = int(np.sum(preds == labels_np))
+        return {"acc": 100.0 * correct / max(n, 1),
                 "predictions": preds, "labels": labels_np}
 
     def evaluate(self, state: TrainState, dataset, *, split="test"):
-        if (self.config.device_epoch and self.mesh is None
-                and hasattr(dataset, "eval_arrays")):
+        if self.config.device_epoch and hasattr(dataset, "eval_arrays"):
             return self._evaluate_on_device(state, dataset, split=split)
         if self._eval_step is None:
             self._eval_step = self._make_eval_step()

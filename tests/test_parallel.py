@@ -259,3 +259,23 @@ def test_device_epoch_under_dp_mesh(key):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=5e-5)
     assert abs(h_ref["loss"] - h_dp["loss"]) < 1e-4
+
+
+def test_device_eval_under_dp_mesh(key):
+    """The scanned one-dispatch eval must also run under a DP mesh and match
+    the meshless device eval exactly."""
+    from cnn_pde_tpu.data import load_dataset
+    from cnn_pde_tpu.models import MNISTClassifier
+    from cnn_pde_tpu.train import TrainConfig, Trainer
+
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=4, synthetic_test_per_class=5)
+    model = MNISTClassifier()
+    cfg = TrainConfig(batch_size=16, device_epoch=True)
+    state = Trainer(model, cfg, lambda s: 1e-3).init_state(key, None)
+
+    ev_ref = Trainer(model, cfg, lambda s: 1e-3).evaluate(state, ds)
+    ev_dp = Trainer(model, cfg, lambda s: 1e-3,
+                    mesh=make_mesh(spatial=1)).evaluate(state, ds)
+    assert ev_ref["acc"] == ev_dp["acc"]
+    np.testing.assert_array_equal(ev_ref["predictions"], ev_dp["predictions"])

@@ -287,3 +287,50 @@ def test_device_epoch_bn_model_matches_host_loop(key):
                     jax.tree_util.tree_leaves(s_dev.model_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=2e-6)
+
+
+def test_max_steps_per_epoch_caps_both_paths(key):
+    """The cap must apply to the host loop AND the device epoch, and yield
+    the same parameters (same first-k batches of the same permutation)."""
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=12, synthetic_test_per_class=2)
+    model = MNISTClassifier()
+
+    def run(device_epoch):
+        cfg = TrainConfig(epochs=1, batch_size=16, log_every=10**9,
+                          device_epoch=device_epoch, max_steps_per_epoch=2)
+        trainer = Trainer(model, cfg, lambda s: 1e-3)
+        state = trainer.init_state(key, None)
+        trainer.train_epoch(state, ds, 0, verbose=False)
+        return state
+
+    s_host, s_dev = run(False), run(True)
+    assert s_host.step == s_dev.step == 2  # capped (7 full batches exist)
+    for a, b in zip(jax.tree_util.tree_leaves(s_host.params),
+                    jax.tree_util.tree_leaves(s_dev.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-6)
+
+
+def test_device_epoch_falls_back_without_train_arrays(key):
+    """A duck-typed dataset exposing only train_batches/eval_batches must
+    still work with device_epoch=True (host-loop fallback, no AttributeError)."""
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=4, synthetic_test_per_class=2)
+
+    class MinimalDataset:
+        def train_batches(self, bs, seed=0, **kw):
+            return ds.train_batches(bs, seed=seed)
+
+        def eval_batches(self, bs, split="test"):
+            return ds.eval_batches(bs, split=split)
+
+    model = MNISTClassifier()
+    cfg = TrainConfig(epochs=1, batch_size=16, log_every=10**9,
+                      device_epoch=True)
+    trainer = Trainer(model, cfg, lambda s: 1e-3)
+    state = trainer.init_state(key, None)
+    stats = trainer.train_epoch(state, MinimalDataset(), 0, verbose=False)
+    assert state.step > 0 and np.isfinite(stats["loss"])
+    ev = trainer.evaluate(state, MinimalDataset())
+    assert 0.0 <= ev["acc"] <= 100.0
