@@ -23,11 +23,17 @@ broadcasting do the work — no (B·H, W) materialisation.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 from .smoothing import smooth3
-from .tridiag import tridiag_solve
+from .tridiag import (
+    tridiag_inverse_operator,
+    tridiag_solve,
+    tridiag_solve_with_operator,
+)
 
-__all__ = ["sweep_x", "sweep_y", "sweep_last_axis"]
+__all__ = ["sweep_x", "sweep_y", "sweep_last_axis",
+           "sweep_operator", "apply_sweep", "apply_sweep_y"]
 
 
 def sweep_last_axis(u, coeff_field, dt, dx, *, smooth: bool, eps: float):
@@ -68,3 +74,54 @@ def sweep_y(u, beta, dt, dy, *, smooth: bool, eps: float):
     beta_t = jnp.swapaxes(beta, -1, -2)
     out = sweep_last_axis(u_t, beta_t, dt, dy, smooth=smooth, eps=eps)
     return jnp.swapaxes(out, -1, -2)
+
+
+# ---- hoisted-operator formulation -------------------------------------------
+#
+# Every sweep's coefficients are batch-free AND its evaluation times are
+# static, so the solve operator can be precomputed for ALL steps/substeps of
+# an evolution in one batched PCR call (rows ∝ steps·C·H·N — independent of
+# the batch size), leaving the sequential step loop as pure MXU matmuls.
+# This trades log2(N) elementwise PCR levels over the batched RHS per sweep
+# for a single matmul pass, and makes the backward a transposed matmul
+# (autodiff) instead of a second adjoint solve per sweep.
+
+
+def sweep_operator(coeff_field, dt, dx, *, smooth: bool, eps: float,
+                   dtype=jnp.float32):
+    """Precompute a sweep's solve operator for coefficient field(s) (..., N) —
+    leading dims may enumerate steps/substeps/channels.  Semantics identical
+    to sweep_last_axis: Neumann BC rows, b+eps, optional 3-tap smoothing of
+    the coefficients along the sweep axis.
+
+    Returns ops = (a, b+eps, c, X): the differentiable tridiagonal bands plus
+    the inverse operator X computed under stop_gradient (gradients flow
+    through the bands via the implicit-function form in apply_sweep, never
+    through X — see tridiag_solve_with_operator)."""
+    if smooth:
+        coeff_field = smooth3(coeff_field, axis=-1)
+    r = coeff_field * (dt / (dx * dx))
+    a = -r
+    c = -r
+    b = 1.0 + 2.0 * r
+    b = b.at[..., 0].set(1.0 + r[..., 0])
+    b = b.at[..., -1].set(1.0 + r[..., -1])
+    b = b + eps
+    X = tridiag_inverse_operator(lax.stop_gradient(a), lax.stop_gradient(b),
+                                 lax.stop_gradient(c), dtype)
+    return a, b, c, X
+
+
+def apply_sweep(ops, u):
+    """u ← T⁻¹ u along the trailing axis (one MXU matmul per coefficient row;
+    the operator's batch dims broadcast over u's leading batch dims)."""
+    a, b, c, X = ops
+    return tridiag_solve_with_operator(a, b, c, u, X)
+
+
+def apply_sweep_y(ops, u):
+    """y-direction apply: ops were built from the TRANSPOSED coefficient field
+    (solve axis = H); transpose u, apply, transpose back."""
+    a, b, c, X = ops
+    u_t = jnp.swapaxes(u, -1, -2)
+    return jnp.swapaxes(tridiag_solve_with_operator(a, b, c, u_t, X), -1, -2)

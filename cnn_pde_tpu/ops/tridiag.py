@@ -137,18 +137,108 @@ def tridiag_solve_pcr(a, b, c, d):
     return d / b
 
 
-_DEFAULT_IMPL = "auto"  # resolved lazily: 'pallas' on TPU, 'pcr' elsewhere
+def tridiag_inverse_operator(a, b, c, dtype=jnp.float32):
+    """Explicit inverse of the tridiagonal operator as a stack of small dense
+    matrices, computed by PCR on an identity RHS.
+
+    Returns X with X[..., k, i] = (T^{-1})[i, k], so that applying the solve
+    to a batched RHS is one matmul:  x = d @ X  (see _apply_inverse).
+
+    The point (TPU-first): every ADI sweep in this codebase has BATCH-FREE
+    coefficients (an (H, N) or (C·H, N) field broadcast over the batch), so
+    the inverse costs rows ∝ H·N — independent of batch size — and the
+    batched work collapses from log2(N) elementwise PCR levels over the full
+    (B·C·H, N) RHS to a single MXU matmul pass over it.  The backward reuses
+    the same X (transposed application), eliminating the adjoint solve.
+    """
+    eye = jnp.eye(a.shape[-1] if hasattr(a, "shape") else b.shape[-1],
+                  dtype=dtype)
+    return tridiag_solve_pcr(a[..., None, :], b[..., None, :],
+                             c[..., None, :], eye)
+
+
+def _inv_apply_einsum(X, d, transpose):
+    """Batched application of the inverse operator as MXU matmuls.
+
+    The coefficient-batch dims of X (all but its last two) are made the
+    dot_general BATCH dims and the true batch dims of d become the M dim —
+    per coefficient row one (M, N) @ (N, N) matmul instead of M degenerate
+    (1, N) products.  HIGHEST precision keeps the PDE parity surface
+    exact-f32 (the repo invariant for any matmul on this surface)."""
+    cb = X.ndim - 2
+    if d.ndim - 1 < cb:  # rare: RHS has fewer dims than the coefficient batch
+        d = jnp.reshape(d, (1,) * (cb + 1 - d.ndim) + d.shape)
+    extra = d.ndim - 1 - cb
+    # einsum has no implicit broadcasting — materialize (free XLA views) any
+    # size-1 dims between X's coefficient-batch dims and d's matching dims
+    cb_shape = jnp.broadcast_shapes(X.shape[:-2], d.shape[extra:-1])
+    X = jnp.broadcast_to(X, cb_shape + X.shape[-2:])
+    d = jnp.broadcast_to(d, d.shape[:extra] + cb_shape + d.shape[-1:])
+    L = "abcdef"[:extra]
+    C = "mnopqr"[:cb]
+    rhs = f"{C}ki" if not transpose else f"{C}ik"
+    return jnp.einsum(f"{L}{C}k,{rhs}->{L}{C}i", d, X,
+                      precision=lax.Precision.HIGHEST)
+
+
+def _apply_inverse(X, d):
+    """x = T^{-1} d via x[..., i] = Σ_k d[..., k] · X[..., k, i]."""
+    return _inv_apply_einsum(X, d, transpose=False)
+
+
+def _apply_inverse_T(X, g):
+    """λ = T^{-T} g via λ[..., k] = Σ_i X[..., k, i] · g[..., i]."""
+    return _inv_apply_einsum(X, g, transpose=True)
+
+
+def tridiag_solve_with_operator(a, b, c, d, X):
+    """Solve T x = d given a PRECOMPUTED inverse operator X of T (from
+    tridiag_inverse_operator), differentiably — without ever differentiating
+    through X.
+
+    Implicit-function formulation with one step of iterative refinement::
+
+        x₀ = sg(X d)                      (sg = stop_gradient)
+        x  = x₀ + sg(X)(d − T x₀)
+
+    * primal: X·T ≈ I so x ≈ x₀ plus a Richardson-refinement correction —
+      numerically CLOSER to the exact solve than X d alone;
+    * tangent: dx = X(dd − dT·x₀) — the exact first-order derivative, so
+      XLA's autodiff of the elementwise T·x₀ term yields the analytic
+      adjoint (λ = T⁻ᵀ g via one transposed matmul; grad_b = −λ∘x₀,
+      grad_a[i] = −λ[i]x₀[i−1], grad_c[i] = −λ[i]x₀[i+1]) with no custom
+      VJP and — critically — a symbolic-zero cotangent for X, so nothing
+      operator-sized ever hits the backward pass.
+
+    (a, b, c) must be the SAME coefficients X was built from (including any
+    +eps shift); they carry the gradient path.
+    """
+    Xs = lax.stop_gradient(X)
+    x0 = lax.stop_gradient(_apply_inverse(Xs, d))
+    # T x₀ along the last axis; a[0] and c[N-1] sit outside the matrix and
+    # the zero-filled shifts drop them exactly as the solvers do.
+    zero = jnp.zeros_like(x0[..., :1])
+    x_lo = jnp.concatenate([zero, x0[..., :-1]], axis=-1)
+    x_hi = jnp.concatenate([x0[..., 1:], zero], axis=-1)
+    resid = d - (b * x0 + a * x_lo + c * x_hi)
+    return x0 + _apply_inverse(Xs, resid)
+
+
+_DEFAULT_IMPL = "auto"  # resolved lazily: 'pcr' everywhere (measured best)
 
 
 def set_default_impl(impl: str):
     """Select the forward/adjoint solver implementation:
       'scan'   sequential Thomas (bit-closest to the reference recurrence)
       'pcr'    log-depth cyclic reduction (vectorized XLA)
+      'matinv' batch-free explicit inverse + one MXU matmul per solve
+               (coefficients must broadcast over the batch — true for every
+               ADI sweep here; measured ≈ pcr on v5e, see PERF.md)
       'pallas' fused VMEM kernel (TPU only; bit-exact vs 'scan')
-      'auto'   pallas on TPU, pcr otherwise
+      'auto'   pcr (measured fastest in chained training loops)
     Returns the previous setting."""
     global _DEFAULT_IMPL
-    assert impl in ("scan", "pcr", "pallas", "auto"), impl
+    assert impl in ("scan", "pcr", "matinv", "pallas", "auto"), impl
     prev = _DEFAULT_IMPL
     _DEFAULT_IMPL = impl
     return prev
@@ -170,6 +260,8 @@ def _solve_impl(a, b, c, d):
         from .pallas_thomas import _solve as pallas_solve
 
         return pallas_solve(a, b, c, d)
+    if impl == "matinv":
+        return _apply_inverse(tridiag_inverse_operator(a, b, c, d.dtype), d)
     if impl == "pcr":
         return tridiag_solve_pcr(a, b, c, d)
     return _thomas_scan(a, b, c, d)
@@ -198,14 +290,23 @@ def tridiag_solve(a, b, c, d):
 
 
 def _tridiag_fwd(a, b, c, d):
+    if _resolve_impl() == "matinv":
+        X = tridiag_inverse_operator(a, b, c, d.dtype)
+        x = _apply_inverse(X, d)
+        # save X: the backward reuses it as the transposed application — no
+        # second (adjoint) solve at all
+        return x, (a, b, c, d, x, X)
     x = _solve_impl(a, b, c, d)
-    return x, (a, b, c, d, x)
+    return x, (a, b, c, d, x, None)
 
 
 def _tridiag_bwd(res, g):
-    a, b, c, d, x = res
-    a_t, b_t, c_t = _transpose_system(a, b, c)
-    lam = _solve_impl(a_t, b_t, c_t, g)  # λ = T^{-T} g
+    a, b, c, d, x, X = res
+    if X is not None:
+        lam = _apply_inverse_T(X, g)  # λ = T^{-T} g, one matmul
+    else:
+        a_t, b_t, c_t = _transpose_system(a, b, c)
+        lam = _solve_impl(a_t, b_t, c_t, g)  # λ = T^{-T} g
     grad_d = lam
     grad_b = -lam * x
     # grad_a[i] = -λ[i]·x[i-1] (a[0] is outside the matrix → zero grad)

@@ -31,9 +31,41 @@ import numpy as np
 from jax import lax
 
 from ..nn.core import Module
-from ..ops.adi import sweep_x, sweep_y
+from ..ops.adi import apply_sweep, apply_sweep_y, sweep_operator, sweep_x, sweep_y
 
 __all__ = ["GrayscaleDiffusion", "ChannelCoupledDiffusion", "MixedChannelDiffusion"]
+
+
+def _coeff_at_times(base, time_coeff, times, eps, cmax=None):
+    """Vectorized _coeff_at over a (...,)-shaped stack of static times:
+    returns coefficients of shape times.shape + base.shape."""
+    t = times.reshape(times.shape + (1,) * base.ndim)
+    c = base + time_coeff * t
+    return jnp.clip(c, eps, cmax) if cmax is not None else jnp.maximum(c, eps)
+
+
+def _hoisted_operators(params, ts, dt, dt_y, dx, dy, *, smooth, eps,
+                       cmax=None, strang=True):
+    """Precompute ALL sweep inverse operators of an evolution in two batched
+    PCR calls (x and y), hoisted out of the sequential step loop.
+
+    Coefficient fields are batch-free and substep times static, so the
+    operators cost rows ∝ steps·C·H·N (batch-independent); the step loop
+    then applies them as MXU matmuls (ops/adi.py hoisted formulation).
+    Returns scan xs: for Strang a 3-tuple (x@t, y@t+dt/2, x@t+dt) of per-step
+    operator pytrees, for Lie a 2-tuple (x@t, y@t+dt/2)."""
+    x_times = ts[:, (0, 2)] if strang else ts[:, :1]
+    alpha = _coeff_at_times(params["alpha_base"], params["alpha_time_coeff"],
+                            x_times, eps, cmax)
+    ops_x = sweep_operator(alpha, dt / 2, dx, smooth=smooth, eps=eps)
+    beta = _coeff_at_times(params["beta_base"], params["beta_time_coeff"],
+                           ts[:, 1], eps, cmax)
+    ops_y = sweep_operator(jnp.swapaxes(beta, -1, -2), dt_y, dy,
+                           smooth=smooth, eps=eps)
+    sub = lambda i: tuple(l[:, i] for l in ops_x)  # noqa: E731
+    if strang:
+        return sub(0), ops_y, sub(1)
+    return sub(0), ops_y
 
 
 def _substep_times_np(dt: float, num_steps: int) -> np.ndarray:
@@ -81,7 +113,7 @@ class GrayscaleDiffusion(Module):
 
     def __init__(self, size=28, dt=0.001, dx=1.0, dy=1.0, num_steps=10,
                  init_value=2.0, eps=1e-6, remat=False, fused_inference=False,
-                 fused=False, fused_tile_b=16):
+                 fused=False, fused_tile_b=16, hoisted=False):
         self.size = size
         self.dt = dt
         self.dx = dx
@@ -90,6 +122,14 @@ class GrayscaleDiffusion(Module):
         self.init_value = init_value
         self.eps = eps
         self.remat = remat  # rematerialize per-step (memory ∝ 1 step for bwd)
+        # hoisted=True precomputes every sweep's inverse operator outside the
+        # step loop (batch-free rows) and applies them as MXU matmuls via the
+        # implicit-function form.  Measured SLOWER than the per-sweep
+        # batch-free PCR on v5e (2.5 → 4.1 ms flagship step: the f32-HIGHEST
+        # 32×32 matmuls run at 1/16 MXU utilisation × 6 passes, which costs
+        # more than the PCR levels save — see PERF.md) — kept as an opt-in
+        # for study; numerics agree with the default path to ~2e-6.
+        self.hoisted = hoisted
         # opt-in Pallas paths (≤3e-7 fwd diff; grads ~1e-8 vs XLA).  They cut
         # launch count to 1, which wins only when per-dispatch latency
         # dominates (isolated calls over a slow link); in chained loops the
@@ -141,6 +181,23 @@ class GrayscaleDiffusion(Module):
                 self.eps, self.fused_tile_b, self.fused_interpret)
             return out[:, None], state
 
+        if self.hoisted:
+            xs = _hoisted_operators(
+                params, ts, self.dt, self.dt, self.dx, self.dy,
+                smooth=True, eps=self.eps, strang=True)
+
+            def step(x, ops):
+                ops_x0, ops_y, ops_x1 = ops
+                x = apply_sweep(ops_x0, x)
+                x = apply_sweep_y(ops_y, x)
+                x = apply_sweep(ops_x1, x)
+                return x, None
+
+            if self.remat:
+                step = jax.checkpoint(step)
+            x, _ = lax.scan(step, x, xs)
+            return x[:, None], state
+
         def step(x, t3):
             alpha = _coeff_at(params["alpha_base"], params["alpha_time_coeff"],
                               t3[0], self.eps)
@@ -179,13 +236,15 @@ class ChannelCoupledDiffusion(Module):
     SVHN.py:64), cross-channel coupling u ← u @ Cᵀ after each step's sweeps
     (SVHN.py:68-86), and a final learnable sigmoid skip blend (SVHN.py:74)."""
 
-    def __init__(self, size=32, channels=3, dt=0.01, dx=1.0, num_steps=10, eps=1e-6):
+    def __init__(self, size=32, channels=3, dt=0.01, dx=1.0, num_steps=10,
+                 eps=1e-6, hoisted=False):
         self.size = size
         self.channels = channels
         self.dt = dt
         self.dx = dx
         self.num_steps = num_steps
         self.eps = eps
+        self.hoisted = hoisted  # see GrayscaleDiffusion
 
     def init(self, key):
         s, C = self.size, self.channels
@@ -204,6 +263,30 @@ class ChannelCoupledDiffusion(Module):
         u0 = u
         ts = _substep_times(self.dt, self.num_steps)
 
+        def couple(u):
+            # coupling: (B,C,H,W) pixels as rows × Cᵀ (SVHN.py:78-86), as an
+            # elementwise broadcast multiply-reduce — exact f32 (inside the
+            # 1e-5 parity budget) and avoids the degenerate-matmul layout
+            # transposes an einsum would pay (see MixedChannelDiffusion._mix)
+            coup = params["channel_coupling"]
+            return jnp.sum(coup[:, :, None, None] * u[:, None, :, :, :], axis=2)
+
+        if self.hoisted:
+            xs = _hoisted_operators(
+                params, ts, self.dt, self.dt, self.dx, self.dx,
+                smooth=True, eps=self.eps, strang=True)
+
+            def step(u, ops):
+                ops_x0, ops_y, ops_x1 = ops
+                u = apply_sweep(ops_x0, u)
+                u = apply_sweep_y(ops_y, u)
+                u = apply_sweep(ops_x1, u)
+                return couple(u), None
+
+            u, _ = lax.scan(step, u, xs)
+            s = jax.nn.sigmoid(params["skip_weight"])
+            return s * u0 + (1.0 - s) * u, state
+
         def step(u, t3):
             alpha = _coeff_at(params["alpha_base"], params["alpha_time_coeff"],
                               t3[0], self.eps)
@@ -214,12 +297,7 @@ class ChannelCoupledDiffusion(Module):
             alpha = _coeff_at(params["alpha_base"], params["alpha_time_coeff"],
                               t3[2], self.eps)
             u = sweep_x(u, alpha, self.dt / 2, self.dx, smooth=True, eps=self.eps)
-            # coupling: (B,C,H,W) pixels as rows × Cᵀ (SVHN.py:78-86), as an
-            # elementwise broadcast multiply-reduce — exact f32 (inside the
-            # 1e-5 parity budget) and avoids the degenerate-matmul layout
-            # transposes an einsum would pay (see MixedChannelDiffusion._mix)
-            coup = params["channel_coupling"]
-            u = jnp.sum(coup[:, :, None, None] * u[:, None, :, :, :], axis=2)
+            u = couple(u)
             return u, None
 
         u, _ = lax.scan(step, u, ts)
@@ -239,8 +317,9 @@ class MixedChannelDiffusion(Module):
     def __init__(self, size=32, channels=3, dt=0.001, dx=1.0, dy=1.0,
                  num_steps=10, splitting="strang", eps=1e-6, clamp_max=10.0,
                  remat=False, fused_inference=False, fused=False,
-                 fused_tile_b=32, fused_train_tile_b=8):
+                 fused_tile_b=32, fused_train_tile_b=8, hoisted=False):
         assert splitting in ("strang", "lie")
+        self.hoisted = hoisted  # see GrayscaleDiffusion
         self.size = size
         self.channels = channels
         self.dt = dt
@@ -320,6 +399,25 @@ class MixedChannelDiffusion(Module):
             return out, state
 
         dt_y = self.dt if self.splitting == "strang" else self.dt / 2
+
+        if self.hoisted:
+            strang = self.splitting == "strang"
+            xs = _hoisted_operators(
+                params, ts, self.dt, dt_y, self.dx, self.dy,
+                smooth=False, eps=eps, cmax=cmax, strang=strang)
+
+            def step(u, ops):
+                u = self._mix(params, u)
+                u = apply_sweep(ops[0], u)
+                u = apply_sweep_y(ops[1], u)
+                if strang:
+                    u = apply_sweep(ops[2], u)
+                return u, None
+
+            if self.remat:
+                step = jax.checkpoint(step)
+            u, _ = lax.scan(step, u, xs)
+            return u, state
 
         def step(u, t3):
             u = self._mix(params, u)

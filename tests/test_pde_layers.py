@@ -190,3 +190,46 @@ def test_grads_flow_through_all_layers(rng, key):
             else:
                 assert np.abs(arr).max() > 0, \
                     f"{type(layer).__name__}.{name} got zero grad"
+
+
+def test_hoisted_evolution_matches_default(key):
+    """hoisted=True (precomputed sweep operators + MXU matmul applies) must
+    match the default per-sweep solve path on every ADI variant — forward
+    and parameter gradients."""
+    import numpy as np
+    from cnn_pde_tpu.nn import Ctx
+    from cnn_pde_tpu.pde import (ChannelCoupledDiffusion, GrayscaleDiffusion,
+                                 MixedChannelDiffusion)
+
+    rng = np.random.default_rng(0)
+    cases = [
+        (GrayscaleDiffusion, dict(size=12, num_steps=4), (3, 1, 12, 12)),
+        (ChannelCoupledDiffusion, dict(size=10, num_steps=3), (3, 3, 10, 10)),
+        (MixedChannelDiffusion,
+         dict(size=10, num_steps=3, splitting="strang"), (3, 3, 10, 10)),
+        (MixedChannelDiffusion,
+         dict(size=10, num_steps=3, splitting="lie"), (3, 3, 10, 10)),
+    ]
+    for cls, kw, shape in cases:
+        u = jnp.asarray(rng.random(shape).astype(np.float32))
+        lay_h, lay_d = cls(hoisted=True, **kw), cls(hoisted=False, **kw)
+        params, state = lay_h.init(key)
+        params = jax.tree_util.tree_map(
+            lambda x: x + 0.01 * jax.random.normal(
+                jax.random.fold_in(key, x.size), x.shape), params)
+
+        def loss(lay, p):
+            return jnp.sum(lay.apply(p, state, u, Ctx(train=True))[0] ** 2)
+
+        y_h, _ = lay_h.apply(params, state, u, Ctx(train=True))
+        y_d, _ = lay_d.apply(params, state, u, Ctx(train=True))
+        np.testing.assert_allclose(np.asarray(y_h), np.asarray(y_d),
+                                   rtol=0, atol=1e-5)
+        g_h = jax.grad(lambda p: loss(lay_h, p))(params)
+        g_d = jax.grad(lambda p: loss(lay_d, p))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_h),
+                        jax.tree_util.tree_leaves(g_d)):
+            scale = max(1.0, float(jnp.max(jnp.abs(b))))
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale,
+                                       rtol=0, atol=2e-5)

@@ -178,3 +178,66 @@ def test_broadcast_coefficients(rng):
         lambda a: jnp.sum(tridiag_solve(a, b, c, d))
     )(jnp.asarray(a))
     assert ga.shape == a.shape
+
+
+def test_matinv_impl_matches_scan(rng):
+    """'matinv' (batch-free explicit inverse + MXU matmul) must agree with
+    the scan recurrence — forward and all four gradients — across
+    coefficient/RHS broadcast patterns."""
+    for cshape, dshape in [((7, 16), (5, 3, 7, 16)), ((3, 7, 16), (5, 3, 7, 16)),
+                           ((1, 16), (5, 4, 16)), ((7, 16), (16,))]:
+        r = jnp.asarray(rng.random(cshape).astype(np.float32)) * 0.5
+        a, c, b = -r, -r, 1 + 2 * r
+        d = jnp.asarray(rng.standard_normal(dshape).astype(np.float32))
+
+        def loss(a, b, c, d):
+            return jnp.sum(tridiag_solve(a, b, c, d) ** 2)
+
+        prev = set_default_impl("scan")
+        try:
+            x_ref = tridiag_solve(a, b, c, d)
+            g_ref = jax.grad(loss, argnums=(0, 1, 2, 3))(a, b, c, d)
+            set_default_impl("matinv")
+            x_mi = tridiag_solve(a, b, c, d)
+            g_mi = jax.grad(loss, argnums=(0, 1, 2, 3))(a, b, c, d)
+        finally:
+            set_default_impl(prev)
+        np.testing.assert_allclose(np.asarray(x_mi), np.asarray(x_ref),
+                                   rtol=0, atol=5e-6)
+        for u, v in zip(g_mi, g_ref):
+            scale = max(1.0, float(jnp.max(jnp.abs(v))))
+            np.testing.assert_allclose(np.asarray(u) / scale,
+                                       np.asarray(v) / scale,
+                                       rtol=0, atol=5e-6)
+
+
+def test_solve_with_operator_matches_solve(rng):
+    """The implicit-function hoisted form (precomputed inverse + refinement)
+    must match tridiag_solve forward and in its (a,b,c,d) gradients, with NO
+    gradient flowing through the operator."""
+    from cnn_pde_tpu.ops.tridiag import (tridiag_inverse_operator,
+                                         tridiag_solve_with_operator)
+
+    r = jnp.asarray(rng.random((5, 16)).astype(np.float32)) * 0.5
+    a, c, b = -r, -r, 1 + 2 * r
+    d = jnp.asarray(rng.standard_normal((4, 5, 16)).astype(np.float32))
+
+    x_ref = tridiag_solve(a, b, c, d)
+    g_ref = jax.grad(lambda *args: jnp.sum(tridiag_solve(*args) ** 2),
+                     argnums=(0, 1, 2, 3))(a, b, c, d)
+
+    X = tridiag_inverse_operator(jax.lax.stop_gradient(a),
+                                 jax.lax.stop_gradient(b),
+                                 jax.lax.stop_gradient(c))
+    x_op = tridiag_solve_with_operator(a, b, c, d, X)
+    g_op = jax.grad(
+        lambda a, b, c, d: jnp.sum(
+            tridiag_solve_with_operator(a, b, c, d, X) ** 2),
+        argnums=(0, 1, 2, 3))(a, b, c, d)
+
+    np.testing.assert_allclose(np.asarray(x_op), np.asarray(x_ref),
+                               rtol=0, atol=5e-6)
+    for u, v in zip(g_op, g_ref):
+        scale = max(1.0, float(jnp.max(jnp.abs(v))))
+        np.testing.assert_allclose(np.asarray(u) / scale,
+                                   np.asarray(v) / scale, rtol=0, atol=5e-6)
