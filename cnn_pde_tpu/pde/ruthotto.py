@@ -25,13 +25,23 @@ __all__ = ["SymmetricLayer", "ParabolicBlock", "HamiltonianBlock"]
 
 
 class SymmetricLayer(Module):
-    def __init__(self, channels, spatial_size, activation="relu"):
+    def __init__(self, channels, spatial_size, activation="relu",
+                 compute_dtype=jnp.bfloat16):
         self.channels = channels
         self.spatial_size = spatial_size
         self.feature_dim = channels * spatial_size * spatial_size
         self.K = Linear(self.feature_dim, self.feature_dim, bias=False,
                         weight_init="eye_plus_noise")
         self.norm = BatchNorm(self.feature_dim)
+        # The reference trains this model under AMP autocast
+        # (cifar_2version.py:503), which runs exactly these K matmuls in
+        # half precision.  bf16 is the TPU analogue AND the perf-critical
+        # choice: the step is weight-traffic-bound (K is 3072² ≈ 37.7 MB f32,
+        # streamed ~20× per step across the parabolic/Hamiltonian loops), so
+        # halving the operand bytes halves the dominant HBM cost.  Master
+        # params, BN statistics and accumulation stay f32.  Pass
+        # compute_dtype=jnp.float32 to disable.
+        self.compute_dtype = compute_dtype
         if activation == "relu":
             self.act = jax.nn.relu
         elif activation == "tanh":
@@ -48,10 +58,13 @@ class SymmetricLayer(Module):
     def apply(self, params, state, Y, ctx):
         B, C, H, W = Y.shape
         y = Y.reshape(B, -1)
-        ky = y @ params["K"]["w"]
+        w = params["K"]["w"].astype(self.compute_dtype)  # CSE'd across steps
+        ky = jnp.dot(y.astype(self.compute_dtype), w,
+                     preferred_element_type=jnp.float32)
         ky, norm_state = self.norm.apply(params["norm"], state["norm"], ky, ctx)
         s = self.act(ky)
-        out = -(s @ params["K"]["w"].T)
+        out = -jnp.dot(s.astype(self.compute_dtype), w.T,
+                       preferred_element_type=jnp.float32)
         return out.reshape(B, C, H, W), {"norm": norm_state}
 
 
