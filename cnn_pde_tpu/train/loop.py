@@ -48,6 +48,10 @@ class TrainConfig:
     seed: int = 0
     native_loader: bool = False  # C++ prefetching batcher (cnn_pde_tpu.native)
     device_epoch: bool = False   # whole epoch in ONE jit dispatch (lax.scan)
+    # with device_epoch, fit() fuses ALL epochs between eval points into one
+    # dispatch (identical streams; pays the tunnel round trip per chunk
+    # instead of per epoch).  Set False to dispatch per epoch.
+    multi_epoch_dispatch: bool = True
     max_steps_per_epoch: Optional[int] = None  # cap (smoke runs; device_epoch)
 
     @property
@@ -176,13 +180,12 @@ class Trainer:
         if self._train_step is None:
             self._train_step = self._make_train_step(params_example)
         raw_step = self._train_step.raw
-        batch = self.config.batch_size
         mesh = self.mesh
 
         def epoch_fn(params, model_state, opt_state, step0,
-                     images_all, labels_all, perm, base_rng):
-            nb = perm.shape[0] // batch  # static at trace time
-            idx = perm[: nb * batch].reshape(nb, batch)
+                     images_all, labels_all, idx, base_rng):
+            # idx: (n_steps, batch) gather indices — one epoch's shuffled
+            # batches, or SEVERAL epochs' concatenated (multi-epoch dispatch)
 
             def body(carry, bidx):
                 p, m, o, step = carry
@@ -225,40 +228,66 @@ class Trainer:
                               jnp.asarray(labels))
         return self._dev_data[1], self._dev_data[2]
 
-    def _train_epoch_on_device(self, state: TrainState, dataset, epoch: int,
-                               *, verbose=True):
+    def _epoch_indices(self, n, epoch):
+        """One epoch's shuffled batch-index table (nb, batch) — the same
+        permutation stream as ArrayDataset.train_batches(seed+epoch)."""
+        cfg = self.config
+        perm = np.random.default_rng(cfg.seed + epoch).permutation(n)
+        if cfg.max_steps_per_epoch is not None:
+            perm = perm[: cfg.max_steps_per_epoch * cfg.batch_size]
+        nb = perm.shape[0] // cfg.batch_size
+        return perm[: nb * cfg.batch_size].reshape(nb, cfg.batch_size)
+
+    def _run_epochs_on_device(self, state: TrainState, dataset, epoch0: int,
+                              n_epochs: int, *, verbose=True):
+        """Run n_epochs WHOLE epochs in ONE jit dispatch (lax.scan over the
+        concatenated shuffled batch tables) — identical streams to running
+        them one dispatch per epoch, but the per-dispatch tunnel round trip
+        (~4 s/epoch under pool congestion, PERF.md) is paid once per chunk.
+        Returns per-epoch stats dicts."""
         cfg = self.config
         if self._epoch_fn is None:
             self._epoch_fn = self._make_epoch_fn(state.params)
         images_all, labels_all = self._device_train_arrays(dataset)
         n = images_all.shape[0]
         if n < cfg.batch_size:
-            return {"loss": 0.0, "acc": 0.0, "time": 0.0}
+            return [{"loss": 0.0, "acc": 0.0, "time": 0.0}
+                    for _ in range(n_epochs)]
         t0 = time.time()
-        # Same permutation stream as ArrayDataset.train_batches(seed+epoch).
-        perm = np.random.default_rng(cfg.seed + epoch).permutation(n)
-        if cfg.max_steps_per_epoch is not None:
-            perm = perm[: cfg.max_steps_per_epoch * cfg.batch_size]
+        idx_per_epoch = [self._epoch_indices(n, epoch0 + e)
+                         for e in range(n_epochs)]
+        nb = idx_per_epoch[0].shape[0]
+        idx = np.concatenate(idx_per_epoch, axis=0)
         if self._base_rng is None:  # eager PRNGKey is a device dispatch
             self._base_rng = jax.random.PRNGKey(cfg.seed)
         (state.params, state.model_state, state.opt_state, stats) = \
             self._epoch_fn(state.params, state.model_state, state.opt_state,
                            jnp.asarray(state.step, jnp.int32),
-                           images_all, labels_all, jnp.asarray(perm),
+                           images_all, labels_all, jnp.asarray(idx),
                            self._base_rng)
-        losses, accs = np.asarray(stats)  # the epoch's ONE device->host fetch
+        losses, accs = np.asarray(stats)  # the chunk's ONE device->host fetch
         state.step += losses.shape[0]
         dt = time.time() - t0
-        if verbose:
-            for bi in range(0, losses.shape[0], cfg.log_every):
-                print(f"Epoch {epoch+1}, Batch {bi}, Loss: {losses[bi]:.4f}, "
-                      f"Acc: {100.0*accs[bi]:.2f}%")
-        avg_loss = float(losses.mean()) if losses.size else 0.0
-        avg_acc = 100.0 * float(accs.mean()) if accs.size else 0.0
-        if verbose:
-            print(f"Epoch {epoch+1} - Loss: {avg_loss:.4f}, "
-                  f"Train Acc: {avg_acc:.2f}%, Time: {dt:.2f}s")
-        return {"loss": avg_loss, "acc": avg_acc, "time": dt}
+        out = []
+        for e in range(n_epochs):
+            el, ea = losses[e * nb:(e + 1) * nb], accs[e * nb:(e + 1) * nb]
+            if verbose:
+                for bi in range(0, el.shape[0], cfg.log_every):
+                    print(f"Epoch {epoch0+e+1}, Batch {bi}, "
+                          f"Loss: {el[bi]:.4f}, Acc: {100.0*ea[bi]:.2f}%")
+            avg_loss = float(el.mean()) if el.size else 0.0
+            avg_acc = 100.0 * float(ea.mean()) if ea.size else 0.0
+            if verbose:
+                print(f"Epoch {epoch0+e+1} - Loss: {avg_loss:.4f}, "
+                      f"Train Acc: {avg_acc:.2f}%, Time: {dt/n_epochs:.2f}s")
+            out.append({"loss": avg_loss, "acc": avg_acc,
+                        "time": dt / n_epochs})
+        return out
+
+    def _train_epoch_on_device(self, state: TrainState, dataset, epoch: int,
+                               *, verbose=True):
+        return self._run_epochs_on_device(state, dataset, epoch, 1,
+                                          verbose=verbose)[0]
 
     def _make_eval_step(self):
         model = self.model
@@ -410,15 +439,35 @@ class Trainer:
         cfg = self.config
         best_acc, patience_count = 0.0, 0
         history = []
-        for epoch in range(cfg.epochs):
-            stats = self.train_epoch(state, dataset, epoch, verbose=verbose)
-            if param_stats_fn is not None and verbose:
-                param_stats_fn(state.params, epoch)
-            if (epoch + 1) % cfg.eval_every == 0 or epoch == cfg.epochs - 1:
+        fuse = (cfg.device_epoch and cfg.multi_epoch_dispatch
+                and hasattr(dataset, "train_arrays"))
+        epoch = 0
+        stop = False
+        while epoch < cfg.epochs and not stop:
+            # epochs until the next eval boundary (eval after epochs e with
+            # (e+1) % eval_every == 0, and always after the last epoch)
+            chunk = min(cfg.eval_every - epoch % cfg.eval_every,
+                        cfg.epochs - epoch)
+            if fuse:
+                stats_list = self._run_epochs_on_device(
+                    state, dataset, epoch, chunk, verbose=verbose)
+                # per-epoch PDE parameter statistics: with fused chunks the
+                # intermediate params don't exist on host — report chunk-end
+                if param_stats_fn is not None and verbose:
+                    param_stats_fn(state.params, epoch + chunk - 1)
+            else:
+                stats_list = []
+                for e in range(epoch, epoch + chunk):
+                    stats_list.append(
+                        self.train_epoch(state, dataset, e, verbose=verbose))
+                    if param_stats_fn is not None and verbose:
+                        param_stats_fn(state.params, e)
+            epoch += chunk
+            if epoch % cfg.eval_every == 0 or epoch == cfg.epochs:
                 ev = self.evaluate(state, dataset)
-                stats["test_acc"] = ev["acc"]
+                stats_list[-1]["test_acc"] = ev["acc"]
                 if verbose:
-                    print(f"Epoch {epoch+1}: Test Acc: {ev['acc']:.2f}%")
+                    print(f"Epoch {epoch}: Test Acc: {ev['acc']:.2f}%")
                 if ev["acc"] > best_acc:
                     best_acc = ev["acc"]
                     patience_count = 0
@@ -431,10 +480,9 @@ class Trainer:
                 if (cfg.early_stop_patience is not None
                         and patience_count >= cfg.early_stop_patience):
                     if verbose:
-                        print(f"Early stopping at epoch {epoch+1}")
-                    history.append(stats)
-                    break
-            history.append(stats)
+                        print(f"Early stopping at epoch {epoch}")
+                    stop = True
+            history.extend(stats_list)
         return {"best_acc": best_acc, "history": history}
 
 

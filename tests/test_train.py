@@ -334,3 +334,34 @@ def test_device_epoch_falls_back_without_train_arrays(key):
     assert state.step > 0 and np.isfinite(stats["loss"])
     ev = trainer.evaluate(state, MinimalDataset())
     assert 0.0 <= ev["acc"] <= 100.0
+
+
+def test_multi_epoch_dispatch_matches_per_epoch(key):
+    """fit() with device_epoch fuses all epochs between eval points into one
+    dispatch; streams must be identical to dispatching per epoch (same
+    per-epoch losses, same final params/BN state, same evals)."""
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=8, synthetic_test_per_class=3)
+    model = MNISTClassifier()
+
+    def run(fuse):
+        cfg = TrainConfig(epochs=5, batch_size=16, eval_every=2,
+                          log_every=10**9, device_epoch=True,
+                          multi_epoch_dispatch=fuse)
+        trainer = Trainer(model, cfg, lambda s: 1e-3)
+        state = trainer.init_state(key, None)
+        result = trainer.fit(state, ds, verbose=False)
+        return state, result
+
+    s_fuse, r_fuse = run(True)
+    s_ref, r_ref = run(False)
+    assert s_fuse.step == s_ref.step
+    assert len(r_fuse["history"]) == len(r_ref["history"]) == 5
+    for a, b in zip(r_fuse["history"], r_ref["history"]):
+        assert abs(a["loss"] - b["loss"]) < 1e-5
+        assert a.get("test_acc") == b.get("test_acc")
+    assert r_fuse["best_acc"] == r_ref["best_acc"]
+    for a, b in zip(jax.tree_util.tree_leaves(s_fuse.params),
+                    jax.tree_util.tree_leaves(s_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-6)
