@@ -29,18 +29,32 @@ def ftcs_evolve(u: jnp.ndarray, alpha_grid: jnp.ndarray, beta_grid: jnp.ndarray,
 
     ``alpha_grid``/``beta_grid`` are (H, W) (already folded with dt/dx² — see
     emotion_recognition.py:77-80); broadcast over batch.
+
+    TPU formulation: the scan carries ONLY the interior; the frozen boundary
+    ring (reflect-padded once, never re-synced — the reference quirk,
+    SURVEY.md §2.7) is four small constants concatenated in as neighbor rows/
+    columns each step.  The padded-buffer alternative — an in-place
+    ``at[:, 1:-1, 1:-1].set`` per step — lowers to an unaligned
+    dynamic-update-slice on the lane axis and measures 12× SLOWER on v5e
+    (1.58 → 0.13 ms fwd+bwd at (64, 48, 48) × 10 steps; PERF.md).  The ring
+    corners are never read by the 5-point stencil, so carrying the interior
+    is exact (≤2e-7 vs the padded form, fusion reassociation only).
     """
-    up = jnp.pad(u, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+    up0 = jnp.pad(u, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+    top, bot = up0[:, 0:1, 1:-1], up0[:, -1:, 1:-1]      # (B, 1, W)
+    left, right = up0[:, 1:-1, 0:1], up0[:, 1:-1, -1:]   # (B, H, 1)
 
-    def body(up, _):
-        ui = up[:, 1:-1, 1:-1]
-        u_xx = up[:, 2:, 1:-1] - 2.0 * ui + up[:, :-2, 1:-1]
-        u_yy = up[:, 1:-1, 2:] - 2.0 * ui + up[:, 1:-1, :-2]
-        up = up.at[:, 1:-1, 1:-1].set(ui + alpha_grid * u_xx + beta_grid * u_yy)
-        return up, None
+    def body(ui, _):
+        u_up = jnp.concatenate([top, ui[:, :-1, :]], axis=1)
+        u_dn = jnp.concatenate([ui[:, 1:, :], bot], axis=1)
+        u_lf = jnp.concatenate([left, ui[:, :, :-1]], axis=2)
+        u_rt = jnp.concatenate([ui[:, :, 1:], right], axis=2)
+        u_xx = u_up + u_dn - 2.0 * ui
+        u_yy = u_lf + u_rt - 2.0 * ui
+        return ui + alpha_grid * u_xx + beta_grid * u_yy, None
 
-    up, _ = lax.scan(body, up, None, length=nt)
-    return up[:, 1:-1, 1:-1]
+    ui, _ = lax.scan(body, u, None, length=nt)
+    return ui
 
 
 _LAPLACIAN_KERNEL = jnp.array(

@@ -37,42 +37,42 @@ AXIS = "spatial"
 
 def _ftcs_local(u, alpha, beta, nt, axis_name):
     """shard_map body: u (B, Hl, W), alpha/beta (Hl, W); H sharded over
-    axis_name."""
+    axis_name.
+
+    Same interior-carry formulation as ops.stencil.ftcs_evolve (a per-step
+    ``at[:, 1:-1, 1:-1].set`` measures 12× slower on v5e — PERF.md): the
+    scan carries only the local interior; frozen ring values (global reflect
+    pad, never re-synced — the reference quirk) are constants concatenated
+    in as neighbors, and the two shard-boundary halo rows are refreshed each
+    step from the neighbors' current edge rows via ppermute."""
     S = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
-    B, Hl, W = u.shape
 
-    # --- initial padded block (B, Hl+2, W+2), reflect semantics globally ---
-    up = jnp.pad(u, ((0, 0), (1, 1), (1, 1)), mode="reflect")
-    # Interior-shard halos must be neighbor rows, not local reflections.
-    # ppermute the initial edge rows (with W reflect pads applied):
-    rows_padded = jnp.pad(u, ((0, 0), (0, 0), (1, 1)), mode="reflect")
-    top_from_prev = lax.ppermute(rows_padded[:, -1], axis_name,
-                                 [(i, i + 1) for i in range(S - 1)])
-    bot_from_next = lax.ppermute(rows_padded[:, 0], axis_name,
-                                 [(i + 1, i) for i in range(S - 1)])
-    # Global edges keep the local reflect value (global row 1 / row H-2);
-    # interior edges take the neighbor's row.
-    up = up.at[:, 0].set(jnp.where(idx == 0, up[:, 0], top_from_prev))
-    up = up.at[:, -1].set(jnp.where(idx == S - 1, up[:, -1], bot_from_next))
+    # frozen ring values from the INITIAL state (reflect semantics):
+    top_frozen = u[:, 1:2, :]       # valid on the global-top shard only
+    bot_frozen = u[:, -2:-1, :]     # valid on the global-bottom shard only
+    left, right = u[:, :, 1:2], u[:, :, -2:-1]
 
-    def body(up, _):
-        ui = up[:, 1:-1, 1:-1]
-        u_xx = up[:, 2:, 1:-1] - 2.0 * ui + up[:, :-2, 1:-1]
-        u_yy = up[:, 1:-1, 2:] - 2.0 * ui + up[:, 1:-1, :-2]
-        new_real = ui + alpha * u_xx + beta * u_yy
-        up = up.at[:, 1:-1, 1:-1].set(new_real)
-        # refresh interior halos with the neighbors' current edge rows
-        top = lax.ppermute(up[:, -2], axis_name,
-                           [(i, i + 1) for i in range(S - 1)])
-        bot = lax.ppermute(up[:, 1], axis_name,
-                           [(i + 1, i) for i in range(S - 1)])
-        up = up.at[:, 0].set(jnp.where(idx == 0, up[:, 0], top))
-        up = up.at[:, -1].set(jnp.where(idx == S - 1, up[:, -1], bot))
-        return up, None
+    def body(ui, _):
+        if S > 1:
+            from_prev = lax.ppermute(ui[:, -1:, :], axis_name,
+                                     [(i, i + 1) for i in range(S - 1)])
+            from_next = lax.ppermute(ui[:, :1, :], axis_name,
+                                     [(i + 1, i) for i in range(S - 1)])
+            top = jnp.where(idx == 0, top_frozen, from_prev)
+            bot = jnp.where(idx == S - 1, bot_frozen, from_next)
+        else:
+            top, bot = top_frozen, bot_frozen
+        u_up = jnp.concatenate([top, ui[:, :-1, :]], axis=1)
+        u_dn = jnp.concatenate([ui[:, 1:, :], bot], axis=1)
+        u_lf = jnp.concatenate([left, ui[:, :, :-1]], axis=2)
+        u_rt = jnp.concatenate([ui[:, :, 1:], right], axis=2)
+        u_xx = u_up + u_dn - 2.0 * ui
+        u_yy = u_lf + u_rt - 2.0 * ui
+        return ui + alpha * u_xx + beta * u_yy, None
 
-    up, _ = lax.scan(body, up, None, length=nt)
-    return up[:, 1:-1, 1:-1]
+    ui, _ = lax.scan(body, u, None, length=nt)
+    return ui
 
 
 def ftcs_evolve_spatial(mesh: Mesh, u, alpha, beta, nt: int):
