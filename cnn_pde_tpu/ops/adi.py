@@ -56,10 +56,18 @@ def sweep_last_axis(u, coeff_field, dt, dx, *, smooth: bool, eps: float):
     # the solver share one elimination chain across the whole batch.
     a = -r
     c = -r
-    b = 1.0 + 2.0 * r
-    b = b.at[..., 0].set(1.0 + r[..., 0])
-    b = b.at[..., -1].set(1.0 + r[..., -1])
+    # Neumann rows via concat, not .at[].set: lane-axis updates lower to
+    # unaligned dynamic-update-slices (bit-identical; flagship step
+    # 2.52 → 2.39 ms, PERF.md)
+    b = _neumann_b(r)
     return tridiag_solve(a, b + eps, c, u)
+
+
+def _neumann_b(r):
+    """b = 1+2r with the Neumann BC rows b[0] = 1+r[0], b[-1] = 1+r[-1]
+    (mnist_test.py:92-93), assembled by concatenation along the sweep axis."""
+    return jnp.concatenate([1.0 + r[..., :1], 1.0 + 2.0 * r[..., 1:-1],
+                            1.0 + r[..., -1:]], axis=-1)
 
 
 def sweep_x(u, alpha, dt, dx, *, smooth: bool, eps: float):
@@ -103,10 +111,7 @@ def sweep_operator(coeff_field, dt, dx, *, smooth: bool, eps: float,
     r = coeff_field * (dt / (dx * dx))
     a = -r
     c = -r
-    b = 1.0 + 2.0 * r
-    b = b.at[..., 0].set(1.0 + r[..., 0])
-    b = b.at[..., -1].set(1.0 + r[..., -1])
-    b = b + eps
+    b = _neumann_b(r) + eps
     X = tridiag_inverse_operator(lax.stop_gradient(a), lax.stop_gradient(b),
                                  lax.stop_gradient(c), dtype)
     return a, b, c, X

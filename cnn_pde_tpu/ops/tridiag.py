@@ -110,9 +110,13 @@ def tridiag_solve_pcr(a, b, c, d):
     # broadcast against a batched d (every ADI sweep in this codebase): keep
     # them at their natural shape so only the d-update runs at batch size —
     # ~2.5× less HBM traffic per level.
-    a = jnp.asarray(a).at[..., 0].set(0.0)   # a[0] sits outside the matrix
+    a = jnp.asarray(a)
     b = jnp.asarray(b)
-    c = jnp.asarray(c).at[..., -1].set(0.0)  # c[N-1] sits outside the matrix
+    c = jnp.asarray(c)
+    # zero the out-of-matrix entries by concat, not .at[].set (lane-axis
+    # updates lower to unaligned dynamic-update-slices — PERF.md)
+    a = jnp.concatenate([jnp.zeros_like(a[..., :1]), a[..., 1:]], axis=-1)
+    c = jnp.concatenate([c[..., :-1], jnp.zeros_like(c[..., :1])], axis=-1)
 
     def shift_right(x, s, fill):
         # x[i-s], out-of-range -> fill
