@@ -1,0 +1,91 @@
+"""Serving benchmark: inference latency + throughput on the flagship model.
+
+Two regimes, matching how a server actually runs:
+
+* steady-state THROUGHPUT — N batched predict calls chained in one jitted
+  fori_loop (pure device rate, PERF.md protocol);
+* per-request LATENCY — one dispatch per call, timed end-to-end from the
+  host (includes the dispatch/tunnel round trip that a real request pays;
+  the regime where the single-launch fused Pallas kernels were built to
+  win).
+
+Usage: python tools/bench_serve.py [--batch-sizes 1 64 512] [--n 500]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-sizes", type=int, nargs="+", default=[1, 64, 512])
+    ap.add_argument("--n", type=int, default=500)
+    ap.add_argument("--latency-reps", type=int, default=50)
+    args = ap.parse_args()
+
+    from cnn_pde_tpu.models import CIFAR10PDENoConv
+    from cnn_pde_tpu.serve import make_predict_fn
+
+    results = {}
+    for fused in (False, True):
+        model = CIFAR10PDENoConv(fused_pde=fused) if fused \
+            else CIFAR10PDENoConv()
+        params, state = model.init(jax.random.PRNGKey(0))
+        tag = "fused" if fused else "xla"
+        for bs in args.batch_sizes:
+            g = np.random.default_rng(0)
+            images = jnp.asarray(g.random((bs, 3, 32, 32)).astype(np.float32))
+            predict = make_predict_fn(model, params, state, output="labels")
+
+            # throughput: chained batches in one dispatch
+            @jax.jit
+            def run_n(x):
+                def body(i, x):
+                    lbl = predict(x)  # traced inline under the outer jit
+                    # fold the labels back in so the chain has a dependence
+                    return x + 1e-12 * lbl[:, None, None, None].astype(x.dtype)
+                return jax.lax.fori_loop(0, args.n, body, x)
+
+            out = run_n(images)
+            float(jnp.sum(out))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = run_n(images)
+                float(jnp.sum(out))
+                best = min(best, time.perf_counter() - t0)
+            thr_ms = best / args.n * 1e3
+
+            # latency: one dispatch per request, host-timed
+            lbl = predict(images)
+            np.asarray(lbl)
+            lats = []
+            for _ in range(args.latency_reps):
+                t0 = time.perf_counter()
+                lbl = predict(images)
+                np.asarray(lbl)  # value fetch = request completion
+                lats.append(time.perf_counter() - t0)
+            lats_ms = sorted(t * 1e3 for t in lats)
+            med = lats_ms[len(lats_ms) // 2]
+
+            results[f"{tag}_bs{bs}"] = {
+                "throughput_ms_per_batch": round(thr_ms, 4),
+                "images_per_sec": round(bs / thr_ms * 1e3, 1),
+                "latency_ms_median": round(med, 3),
+                "latency_ms_p90": round(lats_ms[int(len(lats_ms) * 0.9)], 3),
+            }
+            print(f"{tag} bs={bs}: {results[f'{tag}_bs{bs}']}", flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
