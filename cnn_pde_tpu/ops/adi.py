@@ -66,6 +66,8 @@ def sweep_last_axis(u, coeff_field, dt, dx, *, smooth: bool, eps: float):
 def _neumann_b(r):
     """b = 1+2r with the Neumann BC rows b[0] = 1+r[0], b[-1] = 1+r[-1]
     (mnist_test.py:92-93), assembled by concatenation along the sweep axis."""
+    if r.shape[-1] == 1:  # degenerate width-1 axis: both BC rows coincide
+        return 1.0 + r
     return jnp.concatenate([1.0 + r[..., :1], 1.0 + 2.0 * r[..., 1:-1],
                             1.0 + r[..., -1:]], axis=-1)
 

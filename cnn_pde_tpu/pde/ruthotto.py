@@ -71,10 +71,12 @@ class SymmetricLayer(Module):
 class ParabolicBlock(Module):
     """∂_t Y = F_sym(Y), forward Euler (cifar_2version.py:225-238)."""
 
-    def __init__(self, channels, spatial_size, num_steps=3, dt=1.0):
+    def __init__(self, channels, spatial_size, num_steps=3, dt=1.0,
+                 compute_dtype=jnp.bfloat16):
         self.num_steps = num_steps
         self.dt = dt
-        self.sym = SymmetricLayer(channels, spatial_size)
+        self.sym = SymmetricLayer(channels, spatial_size,
+                                  compute_dtype=compute_dtype)
 
     def init(self, key):
         p, s = self.sym.init(key)
@@ -91,11 +93,14 @@ class ParabolicBlock(Module):
 class HamiltonianBlock(Module):
     """Symplectic two-field integrator (cifar_2version.py:241-258)."""
 
-    def __init__(self, channels, spatial_size, num_steps=3, dt=1.0):
+    def __init__(self, channels, spatial_size, num_steps=3, dt=1.0,
+                 compute_dtype=jnp.bfloat16):
         self.num_steps = num_steps
         self.dt = dt
-        self.F_Y = SymmetricLayer(channels, spatial_size)
-        self.F_Z = SymmetricLayer(channels, spatial_size)
+        self.F_Y = SymmetricLayer(channels, spatial_size,
+                                  compute_dtype=compute_dtype)
+        self.F_Z = SymmetricLayer(channels, spatial_size,
+                                  compute_dtype=compute_dtype)
 
     def init(self, key):
         k1, k2 = jax.random.split(key)

@@ -244,8 +244,17 @@ class Trainer:
         concatenated shuffled batch tables) — identical streams to running
         them one dispatch per epoch, but the per-dispatch tunnel round trip
         (~4 s/epoch under pool congestion, PERF.md) is paid once per chunk.
-        Returns per-epoch stats dicts."""
+        Returns per-epoch stats dicts (the 'time' entry is the chunk wall
+        time divided evenly across the chunk's epochs — individual epochs
+        inside one dispatch are not separately timed)."""
         cfg = self.config
+        if cfg.native_loader and not self._warned_native:
+            import warnings
+
+            warnings.warn("device_epoch=True bypasses the native loader "
+                          "(batching happens on device); native_loader "
+                          "is ignored.")
+            self._warned_native = True
         if self._epoch_fn is None:
             self._epoch_fn = self._make_epoch_fn(state.params)
         images_all, labels_all = self._device_train_arrays(dataset)
@@ -309,13 +318,6 @@ class Trainer:
         (images, labels) numpy/jnp arrays of fixed shape."""
         cfg = self.config
         if cfg.device_epoch and hasattr(dataset, "train_arrays"):
-            if cfg.native_loader and not self._warned_native:
-                import warnings
-
-                warnings.warn("device_epoch=True bypasses the native loader "
-                              "(batching happens on device); native_loader "
-                              "is ignored.")
-                self._warned_native = True
             return self._train_epoch_on_device(state, dataset, epoch,
                                                verbose=verbose)
         if self._train_step is None:

@@ -37,6 +37,12 @@ def main():
 
     results = {}
     for fused in (False, True):
+        if fused and jax.default_backend() != "tpu":
+            # the fused Pallas path silently falls back to XLA off-TPU —
+            # don't report the same code path under two labels
+            print("skipping fused variant: not on TPU (would re-measure "
+                  "the XLA path under a misleading label)", flush=True)
+            continue
         model = CIFAR10PDENoConv(fused_pde=fused) if fused \
             else CIFAR10PDENoConv()
         params, state = model.init(jax.random.PRNGKey(0))

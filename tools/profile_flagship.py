@@ -20,23 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _bench import timed_loop
 
-def timed_loop(fn, init_carry, n, samples=3):
-    """fn: (i, carry) -> carry, chained n times in one jitted dispatch."""
 
-    @jax.jit
-    def run(carry):
-        return jax.lax.fori_loop(0, n, fn, carry)
-
-    out = run(init_carry)  # compile + warmup
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-    best = float("inf")
-    for _ in range(samples):
-        t0 = time.perf_counter()
-        out = run(init_carry)
-        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-        best = min(best, time.perf_counter() - t0)
-    return best / n * 1e3  # ms per iteration
 
 
 def main():
@@ -107,7 +93,6 @@ def main():
         p, m = carry
         r = jax.random.fold_in(rng, i)
         loss, new_m = loss_fn(p, m, images, r)
-        p = jax.tree_util.tree_map(lambda a: a, p)
         return (jax.tree_util.tree_map(
             lambda a: a + 1e-30 * loss, p), new_m)
 

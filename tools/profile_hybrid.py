@@ -18,21 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _bench import timed_loop
 
-def timed_loop(fn, init_carry, n, samples=3):
-    @jax.jit
-    def run(carry):
-        return jax.lax.fori_loop(0, n, fn, carry)
 
-    out = run(init_carry)
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-    best = float("inf")
-    for _ in range(samples):
-        t0 = time.perf_counter()
-        out = run(init_carry)
-        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-        best = min(best, time.perf_counter() - t0)
-    return best / n * 1e3
 
 
 def main():
