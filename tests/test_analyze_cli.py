@@ -1,0 +1,27 @@
+"""Smoke test for the analysis CLI (A1-A4 surface): runs end-to-end on the
+synthetic fixture and checks the artifacts it promises (accuracy + report
+print, confusion matrix, coefficient heatmaps, prediction panel, JSON)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_analyze_cli_mnist(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "cnn_pde_tpu.analyze", "--preset", "mnist",
+         "--synthetic", "--output-dir", str(tmp_path), "--platform", "cpu"],
+        cwd=REPO, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Test Accuracy:" in out.stdout
+    assert "CFL:" in out.stdout          # P1 per-pixel fields present
+    assert "Anisotropy ratio:" in out.stdout
+    for suffix in ("confusion.png", "coefficients.png", "predictions.png",
+                   "report.json"):
+        path = tmp_path / f"mnist_{suffix}"
+        assert path.exists() and path.stat().st_size > 0, suffix
+    report = json.loads((tmp_path / "mnist_report.json").read_text())
+    assert "accuracy" in report and "cfl" in report and "anisotropy" in report
