@@ -365,3 +365,21 @@ def test_multi_epoch_dispatch_matches_per_epoch(key):
                     jax.tree_util.tree_leaves(s_ref.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=2e-6)
+
+
+def test_native_loader_warning_fires_on_fused_fit(key):
+    """native_loader + device_epoch silently bypasses the C++ batcher; the
+    one-time warning must fire on the DEFAULT fused multi-epoch fit path
+    (it used to live only in train_epoch, which fit() bypasses)."""
+    import warnings
+
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=4, synthetic_test_per_class=2)
+    cfg = TrainConfig(epochs=1, batch_size=16, device_epoch=True,
+                      native_loader=True, log_every=10**9)
+    trainer = Trainer(MNISTClassifier(), cfg, lambda s: 1e-3)
+    state = trainer.init_state(key, None)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        trainer.fit(state, ds, verbose=False)
+    assert any("native loader" in str(w.message) for w in caught)
