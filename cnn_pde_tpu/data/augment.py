@@ -42,10 +42,15 @@ def _bilinear_sample(img, coords_y, coords_x):
     C, H, W = img.shape
     wy = _tri(coords_y, H)                                   # (H', W', H)
     wx = _tri(coords_x, W)                                   # (H', W', W)
+    # HIGH (bf16x3) here, not HIGHEST: the bilinear warp only feeds the
+    # random rotate/translate augmentations, where ~1e-4 pixel drift is far
+    # below the augmentation's own randomness — and it is ~28% faster on
+    # the chain (0.40 → 0.29 ms, PERF.md).  The crop/resize samplers keep
+    # HIGHEST for their exactness guarantees.
     t = jnp.einsum("ijk,ckl->cijl", wy, img,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=jax.lax.Precision.HIGH)
     return jnp.einsum("cijl,ijl->cij", t, wx,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=jax.lax.Precision.HIGH)
 
 
 def _affine_warp(img, inv_matrix):
