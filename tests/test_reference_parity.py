@@ -205,3 +205,90 @@ def test_tiny_imagenet_diffusion_parity(rng, key):
         ref_out = layer(torch.from_numpy(u)).numpy()
     out, _ = ours(params, state, jnp.asarray(u))
     np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-5, atol=2e-5)
+
+
+def _copy_sym_weights(ref_sym, params, state):
+    """Copy a reference SymmetricLayer's torch weights into our param/state
+    pytrees (our Linear kernel is (in, out) = K.weightᵀ).
+
+    The .copy() calls are load-bearing: .detach().numpy() returns a VIEW of
+    the torch buffer, and jnp.asarray on CPU zero-copies aligned numpy
+    arrays — without the copy, torch's subsequent IN-PLACE running-stat
+    updates would mutate \"our\" state too."""
+    params["K"]["w"] = jnp.asarray(
+        ref_sym.K.weight.detach().numpy().T.copy())
+    params["norm"]["scale"] = jnp.asarray(
+        ref_sym.norm.weight.detach().numpy().copy())
+    params["norm"]["bias"] = jnp.asarray(
+        ref_sym.norm.bias.detach().numpy().copy())
+    state["norm"]["mean"] = jnp.asarray(
+        ref_sym.norm.running_mean.detach().numpy().copy())
+    state["norm"]["var"] = jnp.asarray(
+        ref_sym.norm.running_var.detach().numpy().copy())
+    return params, state
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_ruthotto_blocks_parity(rng, key, train):
+    """P6-P8 (SymmetricLayer / ParabolicBlock / HamiltonianBlock) forward
+    activations vs the actual cifar_2version.py implementations, in both
+    BN modes, with identical weights (compute_dtype=f32 for the exact
+    comparison; the default-bf16 layer is bounded separately in
+    test_pde_layers.py)."""
+    ref = _load_ref("cifar_2version")
+    from cnn_pde_tpu.pde import HamiltonianBlock, ParabolicBlock
+    from cnn_pde_tpu.pde.ruthotto import SymmetricLayer
+
+    C, S, B = 2, 4, 8
+    Y_np = rng.standard_normal((B, C, S, S)).astype(np.float32)
+    Yt = torch.from_numpy(Y_np)
+    Yj = jnp.asarray(Y_np)
+
+    # --- SymmetricLayer (P6) ---
+    torch.manual_seed(0)
+    ref_sym = ref.SymmetricLayer(C, S)
+    ref_sym.train(train)
+    ours = SymmetricLayer(C, S, compute_dtype=jnp.float32)
+    params, state = ours.init(key)
+    # copy BEFORE running the reference (its train-mode forward mutates the
+    # BN running stats)
+    params, state = _copy_sym_weights(ref_sym, params, state)
+    with torch.no_grad():
+        out_ref = ref_sym(Yt).numpy()
+    out, _ = ours(params, state, Yj, train=train)
+    np.testing.assert_allclose(np.asarray(out), out_ref, **TOL)
+
+    # --- ParabolicBlock (P7): 4 Euler steps through the same BN ---
+    torch.manual_seed(1)
+    ref_pb = ref.ParabolicBlock(C, S, num_steps=4, dt=0.5)
+    ref_pb.train(train)
+    pb = ParabolicBlock(C, S, num_steps=4, dt=0.5,
+                        compute_dtype=jnp.float32)
+    params, state = pb.init(key)
+    params["sym"], state["sym"] = _copy_sym_weights(
+        ref_pb.symmetric_layer, params["sym"], state["sym"])
+    with torch.no_grad():
+        out_ref = ref_pb(Yt).numpy()
+    out, new_state = pb(params, state, Yj, train=train)
+    np.testing.assert_allclose(np.asarray(out), out_ref, **TOL)
+    if train:  # running stats accumulate across the 4 BN calls identically
+        np.testing.assert_allclose(
+            np.asarray(new_state["sym"]["norm"]["mean"]),
+            ref_pb.symmetric_layer.norm.running_mean.detach().numpy(),
+            **TOL)
+
+    # --- HamiltonianBlock (P8): Verlet two-field integration ---
+    torch.manual_seed(2)
+    ref_hb = ref.HamiltonianBlock(C, S, num_steps=3, dt=0.8)
+    ref_hb.train(train)
+    hb = HamiltonianBlock(C, S, num_steps=3, dt=0.8,
+                          compute_dtype=jnp.float32)
+    params, state = hb.init(key)
+    params["F_Y"], state["F_Y"] = _copy_sym_weights(
+        ref_hb.F_Y, params["F_Y"], state["F_Y"])
+    params["F_Z"], state["F_Z"] = _copy_sym_weights(
+        ref_hb.F_Z, params["F_Z"], state["F_Z"])
+    with torch.no_grad():
+        out_ref = ref_hb(Yt).numpy()
+    out, _ = hb(params, state, Yj, train=train)
+    np.testing.assert_allclose(np.asarray(out), out_ref, **TOL)
