@@ -292,3 +292,47 @@ def test_ruthotto_blocks_parity(rng, key, train):
         out_ref = ref_hb(Yt).numpy()
     out, _ = hb(params, state, Yj, train=train)
     np.testing.assert_allclose(np.asarray(out), out_ref, **TOL)
+
+
+def test_mnist_full_model_logits_parity(rng, key):
+    """END-TO-END M1 parity: the whole PDEClassifier (diffusion + MLP head)
+    vs the actual mnist_test.py model with identical weights — eval mode
+    (dropout off), logits at ≤1e-5."""
+    ref = _load_ref("mnist_test")
+    from cnn_pde_tpu.models import MNISTClassifier
+
+    torch.manual_seed(0)
+    ref_model = ref.PDEClassifier(dropout_rate=0.1, dx=1.0, dy=1.0)
+    ref_model.eval()
+    # perturb the coefficient fields so the PDE path is non-trivial
+    with torch.no_grad():
+        ref_model.diff.alpha_base += torch.from_numpy(
+            rng.standard_normal((28, 28)).astype(np.float32) * 0.3)
+        ref_model.diff.alpha_time_coeff.copy_(torch.from_numpy(
+            rng.standard_normal((28, 28)).astype(np.float32) * 0.05))
+
+    ours = MNISTClassifier()
+    params, state = ours.init(key)
+    d = ref_model.diff
+    params["diff"] = {
+        "alpha_base": jnp.asarray(d.alpha_base.detach().numpy().copy()),
+        "beta_base": jnp.asarray(d.beta_base.detach().numpy().copy()),
+        "alpha_time_coeff": jnp.asarray(
+            d.alpha_time_coeff.detach().numpy().copy()),
+        "beta_time_coeff": jnp.asarray(
+            d.beta_time_coeff.detach().numpy().copy()),
+    }
+    # head: Sequential[Flatten, Dropout, Linear, ReLU, Dropout, Linear] —
+    # Linear layers sit at indices 2 and 5; our kernel is torch weightᵀ
+    params["head"]["2"] = {
+        "w": jnp.asarray(ref_model.fc1.weight.detach().numpy().T.copy()),
+        "b": jnp.asarray(ref_model.fc1.bias.detach().numpy().copy())}
+    params["head"]["5"] = {
+        "w": jnp.asarray(ref_model.fc2.weight.detach().numpy().T.copy()),
+        "b": jnp.asarray(ref_model.fc2.bias.detach().numpy().copy())}
+
+    x = rng.standard_normal((4, 1, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        logits_ref = ref_model(torch.from_numpy(x)).numpy()
+    logits, _ = ours(params, state, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(logits), logits_ref, **TOL)
