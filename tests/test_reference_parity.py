@@ -336,3 +336,58 @@ def test_mnist_full_model_logits_parity(rng, key):
         logits_ref = ref_model(torch.from_numpy(x)).numpy()
     logits, _ = ours(params, state, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(logits), logits_ref, **TOL)
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_fashion_full_model_logits_parity(rng, key, train):
+    """END-TO-END M2 parity: the Fashion PDEClassifier (diffusion + BN MLP
+    head) vs the actual fashion_mnist.py model with identical weights — BN
+    batch-stat (train) and running-stat (eval) modes, dropout disabled by
+    rate-0 construction so train mode is deterministic."""
+    ref = _load_ref("fashion_mnist")
+    from cnn_pde_tpu.models import FashionClassifier
+
+    torch.manual_seed(0)
+    ref_model = ref.FashionPDEClassifier(dropout_rate=0.0)
+    ref_model.train(train)
+    with torch.no_grad():
+        ref_model.diff.alpha_base += torch.from_numpy(
+            rng.standard_normal((28, 28)).astype(np.float32) * 0.2)
+        # nontrivial BN running stats for the eval comparison
+        ref_model.bn1.running_mean.copy_(torch.from_numpy(
+            rng.standard_normal(512).astype(np.float32) * 0.1))
+        ref_model.bn2.running_var.copy_(torch.from_numpy(
+            (1.0 + rng.random(256) * 0.3).astype(np.float32)))
+
+    ours = FashionClassifier(dropout_rate=0.0)
+    params, state = ours.init(key)
+    d = ref_model.diff
+    params["diff"] = {
+        k: jnp.asarray(getattr(d, k).detach().numpy().copy())
+        for k in ("alpha_base", "beta_base",
+                  "alpha_time_coeff", "beta_time_coeff")}
+    # head: [Flatten, Linear, BN, ReLU, Dropout, Linear, BN, ReLU, Dropout,
+    #        Linear] — Linear at 1/5/9, BN at 2/6
+    for idx, lin in (("1", ref_model.fc1), ("5", ref_model.fc2),
+                     ("9", ref_model.fc3)):
+        params["head"][idx] = {
+            "w": jnp.asarray(lin.weight.detach().numpy().T.copy()),
+            "b": jnp.asarray(lin.bias.detach().numpy().copy())}
+    for idx, bn in (("2", ref_model.bn1), ("6", ref_model.bn2)):
+        params["head"][idx] = {
+            "scale": jnp.asarray(bn.weight.detach().numpy().copy()),
+            "bias": jnp.asarray(bn.bias.detach().numpy().copy())}
+        state["head"][idx] = {
+            "mean": jnp.asarray(bn.running_mean.detach().numpy().copy()),
+            "var": jnp.asarray(bn.running_var.detach().numpy().copy())}
+
+    x = rng.standard_normal((6, 1, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        logits_ref = ref_model(torch.from_numpy(x)).numpy()
+    logits, new_state = ours(params, state, jnp.asarray(x), train=train)
+    np.testing.assert_allclose(np.asarray(logits), logits_ref,
+                               rtol=1e-4, atol=1e-4)
+    if train:  # BN running stats must update identically
+        np.testing.assert_allclose(
+            np.asarray(new_state["head"]["2"]["mean"]),
+            ref_model.bn1.running_mean.detach().numpy(), rtol=1e-4, atol=1e-5)
