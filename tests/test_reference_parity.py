@@ -391,3 +391,89 @@ def test_fashion_full_model_logits_parity(rng, key, train):
         np.testing.assert_allclose(
             np.asarray(new_state["head"]["2"]["mean"]),
             ref_model.bn1.running_mean.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+
+def _copy_mlp_head(params, state, torch_pairs):
+    """Copy (Linear, BN) torch modules into our Sequential head params/state
+    for the [Flatten, (Linear, BN, ReLU, Dropout)*k, Linear] layout: block i
+    has Linear at 1+4i and BN at 2+4i; the final Linear sits at 1+4k."""
+    k = len(torch_pairs) - 1  # last entry: (final_linear, None)
+    for i, (lin, bn) in enumerate(torch_pairs):
+        idx = str(1 + 4 * i)
+        params["head"][idx] = {
+            "w": jnp.asarray(lin.weight.detach().numpy().T.copy()),
+            "b": jnp.asarray(lin.bias.detach().numpy().copy())}
+        if bn is not None:
+            bidx = str(2 + 4 * i)
+            params["head"][bidx] = {
+                "scale": jnp.asarray(bn.weight.detach().numpy().copy()),
+                "bias": jnp.asarray(bn.bias.detach().numpy().copy())}
+            state["head"][bidx] = {
+                "mean": jnp.asarray(bn.running_mean.detach().numpy().copy()),
+                "var": jnp.asarray(bn.running_var.detach().numpy().copy())}
+    return params, state
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_svhn_full_model_logits_parity(rng, key, train):
+    """END-TO-END M3 parity: the SVHN PDEClassifier (channel-coupled
+    diffusion + 4-block BN MLP) vs the actual SVHN.py model."""
+    ref = _load_ref("SVHN")
+    from cnn_pde_tpu.models import SVHNClassifier
+
+    torch.manual_seed(0)
+    ref_model = ref.PDEClassifier(dropout_rate=0.0)
+    ref_model.train(train)
+    ours = SVHNClassifier(dropout_rate=0.0)
+    params, state = ours.init(key)
+    d = ref_model.diff
+    params["diff"] = {
+        k: jnp.asarray(getattr(d, k).detach().numpy().copy())
+        for k in ("alpha_base", "beta_base", "alpha_time_coeff",
+                  "beta_time_coeff", "channel_coupling", "skip_weight")}
+    params, state = _copy_mlp_head(
+        params, state,
+        [(ref_model.fc1, ref_model.bn1), (ref_model.fc2, ref_model.bn2),
+         (ref_model.fc3, ref_model.bn3), (ref_model.fc4, ref_model.bn4),
+         (ref_model.fc5, None)])
+
+    x = rng.standard_normal((6, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        logits_ref = ref_model(torch.from_numpy(x)).numpy()
+    logits, _ = ours(params, state, jnp.asarray(x), train=train)
+    np.testing.assert_allclose(np.asarray(logits), logits_ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_emotion_full_model_logits_parity(rng, key, train):
+    """END-TO-END M12 parity: the emotion DiffusionClassifier (Fourier-FTCS
+    PDE + 3-block BN MLP) vs the actual emotion_recognition.py model.  The
+    Fourier weights are scaled down so the (reference-unstable-at-init)
+    FTCS evolution stays bounded and the ≤1e-4 comparison is meaningful."""
+    ref = _load_ref("emotion_recognition")
+    from cnn_pde_tpu.models import EmotionClassifier
+
+    torch.manual_seed(0)
+    ref_model = ref.DiffusionClassifier(img_size=48, num_classes=7,
+                                        dropout_rate=0.0)
+    ref_model.train(train)
+    ours = EmotionClassifier(dropout_rate=0.0)
+    params, state = ours.init(key)
+    small = {"alpha_w1": 0.02, "alpha_w2": 0.01, "alpha_w3": 0.005,
+             "beta_w1": 0.03, "beta_w2": 0.01, "beta_w3": 0.005}
+    with torch.no_grad():
+        for name, v in small.items():
+            getattr(ref_model.pde, name).copy_(torch.tensor(v))
+            params["diff"][name] = jnp.asarray(v, jnp.float32)
+    seq = ref_model.classifier
+    params, state = _copy_mlp_head(
+        params, state,
+        [(seq[1], seq[2]), (seq[5], seq[6]), (seq[9], seq[10]), (seq[13], None)])
+
+    x = rng.standard_normal((6, 1, 48, 48)).astype(np.float32)
+    with torch.no_grad():
+        logits_ref = ref_model(torch.from_numpy(x)).numpy()
+    logits, _ = ours(params, state, jnp.asarray(x), train=train)
+    np.testing.assert_allclose(np.asarray(logits), logits_ref,
+                               rtol=1e-4, atol=1e-4)
