@@ -477,3 +477,74 @@ def test_emotion_full_model_logits_parity(rng, key, train):
     logits, _ = ours(params, state, jnp.asarray(x), train=train)
     np.testing.assert_allclose(np.asarray(logits), logits_ref,
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_cifar10_flagship_full_model_logits_parity(rng, key, train):
+    """END-TO-END M7 parity: the FLAGSHIP CIFAR10PDENoConv (3 multi-scale
+    diffusion branches + spatial attentions + softmax combine + BN2d +
+    avg‖max pools + EnhancedFC) vs the actual cifar10.py model — every
+    weight copied, both BN modes."""
+    ref = _load_ref("cifar10")
+    from cnn_pde_tpu.models import CIFAR10PDENoConv
+
+    import contextlib
+    import io
+
+    torch.manual_seed(0)
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref_model = ref.CIFAR10PDENoConv(dropout_rate=0.0)
+    ref_model.train(train)
+    ours = CIFAR10PDENoConv(dropout_rate=0.0)
+    params, state = ours.init(key)
+    fe, ref_fe = params["feature_extractor"], ref_model.feature_extractor
+
+    for i in (1, 2, 3):
+        ref_pde = getattr(ref_fe, f"pde{i}")
+        with torch.no_grad():  # nontrivial coefficient fields
+            ref_pde.alpha_time_coeff.copy_(torch.from_numpy(
+                rng.standard_normal((3, 32, 32)).astype(np.float32) * 0.1))
+        fe[f"pde{i}"] = {
+            k: jnp.asarray(getattr(ref_pde, k).detach().numpy().copy())
+            for k in ("alpha_base", "beta_base", "alpha_time_coeff",
+                      "beta_time_coeff", "channel_mixing")}
+        ref_att = getattr(ref_fe, f"attention{i}")
+        fe[f"attention{i}"]["pos_embed"] = jnp.asarray(
+            ref_att.pos_embed.detach().numpy().copy())
+        for j in (0, 2):
+            lin = ref_att.attention_fc[j]
+            fe[f"attention{i}"]["fc"][str(j)] = {
+                "w": jnp.asarray(lin.weight.detach().numpy().T.copy()),
+                "b": jnp.asarray(lin.bias.detach().numpy().copy())}
+    fe["combine_weights"] = jnp.asarray(
+        ref_fe.combine_weights.detach().numpy().copy())
+
+    bn = ref_model.feature_bn
+    params["feature_bn"] = {
+        "scale": jnp.asarray(bn.weight.detach().numpy().copy()),
+        "bias": jnp.asarray(bn.bias.detach().numpy().copy())}
+    state["feature_bn"] = {
+        "mean": jnp.asarray(bn.running_mean.detach().numpy().copy()),
+        "var": jnp.asarray(bn.running_var.detach().numpy().copy())}
+
+    # EnhancedFC: [Linear, BN, ReLU, Dropout]×4 + Linear → Linear at
+    # 0/4/8/12/16, BN at 1/5/9/13 (same indices both sides)
+    net = ref_model.classifier.network
+    for idx in (0, 4, 8, 12, 16):
+        params["classifier"][str(idx)] = {
+            "w": jnp.asarray(net[idx].weight.detach().numpy().T.copy()),
+            "b": jnp.asarray(net[idx].bias.detach().numpy().copy())}
+    for idx in (1, 5, 9, 13):
+        params["classifier"][str(idx)] = {
+            "scale": jnp.asarray(net[idx].weight.detach().numpy().copy()),
+            "bias": jnp.asarray(net[idx].bias.detach().numpy().copy())}
+        state["classifier"][str(idx)] = {
+            "mean": jnp.asarray(net[idx].running_mean.detach().numpy().copy()),
+            "var": jnp.asarray(net[idx].running_var.detach().numpy().copy())}
+
+    x = rng.standard_normal((6, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        logits_ref = ref_model(torch.from_numpy(x)).numpy()
+    logits, _ = ours(params, state, jnp.asarray(x), train=train)
+    np.testing.assert_allclose(np.asarray(logits), logits_ref,
+                               rtol=1e-4, atol=1e-4)
