@@ -548,3 +548,93 @@ def test_cifar10_flagship_full_model_logits_parity(rng, key, train):
     logits, _ = ours(params, state, jnp.asarray(x), train=train)
     np.testing.assert_allclose(np.asarray(logits), logits_ref,
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_cifar10_hybrid_full_model_logits_parity(rng, key, train):
+    """END-TO-END M11 parity: CIFAR10HybridPDEModel (2 Lie diffusions +
+    parabolic + Hamiltonian + combine + BN, non-conv attention, BN,
+    avg‖max 8×8 pools, 5-block head) vs the actual cifar_2version.py model
+    — every weight copied, both BN modes (Ruthotto layers at f32 for the
+    exact comparison)."""
+    ref = _load_ref("cifar_2version")
+    from cnn_pde_tpu.models import CIFAR10HybridPDEModel
+
+    import contextlib
+    import io
+
+    torch.manual_seed(0)
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref_model = ref.CIFAR10HybridPDEModel(dropout_rate=0.0)
+    ref_model.train(train)
+    ours = CIFAR10HybridPDEModel(dropout_rate=0.0)
+    ext = ours.feature_extractor
+    for sym in (ext.parabolic.sym, ext.hamiltonian.F_Y, ext.hamiltonian.F_Z):
+        sym.compute_dtype = jnp.float32
+    params, state = ours.init(key)
+    fe, ref_fe = params["feature_extractor"], ref_model.feature_extractor
+
+    for name in ("diffusion1", "diffusion2"):
+        ref_pde = getattr(ref_fe, name)
+        with torch.no_grad():
+            ref_pde.alpha_time_coeff.copy_(torch.from_numpy(
+                rng.standard_normal((3, 32, 32)).astype(np.float32) * 0.1))
+        fe[name] = {
+            k: jnp.asarray(getattr(ref_pde, k).detach().numpy().copy())
+            for k in ("alpha_base", "beta_base", "alpha_time_coeff",
+                      "beta_time_coeff", "channel_mixing")}
+    fe["parabolic"]["sym"], state["feature_extractor"]["parabolic"]["sym"] = \
+        _copy_sym_weights(ref_fe.parabolic.symmetric_layer,
+                          fe["parabolic"]["sym"],
+                          state["feature_extractor"]["parabolic"]["sym"])
+    for ours_k, ref_sym in (("F_Y", ref_fe.hamiltonian.F_Y),
+                            ("F_Z", ref_fe.hamiltonian.F_Z)):
+        fe["hamiltonian"][ours_k], \
+            state["feature_extractor"]["hamiltonian"][ours_k] = \
+            _copy_sym_weights(ref_sym, fe["hamiltonian"][ours_k],
+                              state["feature_extractor"]["hamiltonian"][ours_k])
+    fe["combination_weights"] = jnp.asarray(
+        ref_fe.combination_weights.detach().numpy().copy())
+    fn = ref_fe.feature_norm
+    fe["feature_norm"] = {
+        "scale": jnp.asarray(fn.weight.detach().numpy().copy()),
+        "bias": jnp.asarray(fn.bias.detach().numpy().copy())}
+    state["feature_extractor"]["feature_norm"] = {
+        "mean": jnp.asarray(fn.running_mean.detach().numpy().copy()),
+        "var": jnp.asarray(fn.running_var.detach().numpy().copy())}
+
+    params["attention"]["pos_embed"] = jnp.asarray(
+        ref_model.attention.pos_embed.detach().numpy().copy())
+    for j in (0, 2, 4):
+        lin = ref_model.attention.attention_net[j]
+        params["attention"]["net"][str(j)] = {
+            "w": jnp.asarray(lin.weight.detach().numpy().T.copy()),
+            "b": jnp.asarray(lin.bias.detach().numpy().copy())}
+
+    bn = ref_model.feature_bn
+    params["feature_bn"] = {
+        "scale": jnp.asarray(bn.weight.detach().numpy().copy()),
+        "bias": jnp.asarray(bn.bias.detach().numpy().copy())}
+    state["feature_bn"] = {
+        "mean": jnp.asarray(bn.running_mean.detach().numpy().copy()),
+        "var": jnp.asarray(bn.running_var.detach().numpy().copy())}
+
+    net = ref_model.classifier.classifier
+    for idx in (0, 4, 8, 12, 16):
+        params["classifier"][str(idx)] = {
+            "w": jnp.asarray(net[idx].weight.detach().numpy().T.copy()),
+            "b": jnp.asarray(net[idx].bias.detach().numpy().copy())}
+    for idx in (1, 5, 9, 13):
+        params["classifier"][str(idx)] = {
+            "scale": jnp.asarray(net[idx].weight.detach().numpy().copy()),
+            "bias": jnp.asarray(net[idx].bias.detach().numpy().copy())}
+        state["classifier"][str(idx)] = {
+            "mean": jnp.asarray(net[idx].running_mean.detach().numpy().copy()),
+            "var": jnp.asarray(net[idx].running_var.detach().numpy().copy())}
+
+    x = rng.standard_normal((6, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        logits_ref = ref_model(torch.from_numpy(x)).numpy()
+    logits, _ = ours(params, state, jnp.asarray(x), train=train)
+    np.testing.assert_allclose(np.asarray(logits), logits_ref,
+                               rtol=1e-4, atol=1e-4)
