@@ -638,3 +638,64 @@ def test_cifar10_hybrid_full_model_logits_parity(rng, key, train):
     logits, _ = ours(params, state, jnp.asarray(x), train=train)
     np.testing.assert_allclose(np.asarray(logits), logits_ref,
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_tiny_imagenet_full_model_logits_parity(rng, key, train):
+    """END-TO-END M13 parity: TinyImageNetClassifier (residual-diffusion
+    front-end + ResNet-18 backbone) vs the actual tiny_imagenet.py model —
+    every conv/BN/fc weight copied (our Conv2d kernels are torch OIHW
+    layout, no transpose), both BN modes."""
+    ref = _load_ref("tiny_imagenet")
+    from cnn_pde_tpu.models import TinyImageNetClassifier
+
+    import contextlib
+    import io
+
+    def copy_conv(dst, src):
+        dst["w"] = jnp.asarray(src.weight.detach().numpy().copy())
+
+    def copy_bn(pdst, sdst, src):
+        pdst["scale"] = jnp.asarray(src.weight.detach().numpy().copy())
+        pdst["bias"] = jnp.asarray(src.bias.detach().numpy().copy())
+        sdst["mean"] = jnp.asarray(src.running_mean.detach().numpy().copy())
+        sdst["var"] = jnp.asarray(src.running_var.detach().numpy().copy())
+
+    torch.manual_seed(0)
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref_model = ref.ImprovedTinyImageNetClassifier(
+            num_classes=200, use_pde=True, dropout_rate=0.0)
+    ref_model.train(train)
+    ours = TinyImageNetClassifier(num_classes=200, use_pde=True,
+                                  dropout_rate=0.0)
+    params, state = ours.init(key)
+
+    d = ref_model.diff
+    params["diff"] = {
+        k: jnp.asarray(getattr(d, k).detach().numpy().copy())
+        for k in ("alpha_base", "beta_base", "channel_scaling")}
+    copy_conv(params["conv1"], ref_model.conv1)
+    copy_bn(params["bn1"], state["bn1"], ref_model.bn1)
+    for si in range(4):
+        ref_stage = getattr(ref_model, f"layer{si+1}")
+        for bi in range(2):
+            name = f"layer{si+1}.{bi}"
+            rb = ref_stage[bi]
+            copy_conv(params[name]["conv1"], rb.conv1)
+            copy_bn(params[name]["bn1"], state[name]["bn1"], rb.bn1)
+            copy_conv(params[name]["conv2"], rb.conv2)
+            copy_bn(params[name]["bn2"], state[name]["bn2"], rb.bn2)
+            if len(rb.shortcut) > 0:
+                copy_conv(params[name]["sc_conv"], rb.shortcut[0])
+                copy_bn(params[name]["sc_bn"], state[name]["sc_bn"],
+                        rb.shortcut[1])
+    params["fc"] = {
+        "w": jnp.asarray(ref_model.fc.weight.detach().numpy().T.copy()),
+        "b": jnp.asarray(ref_model.fc.bias.detach().numpy().copy())}
+
+    x = rng.standard_normal((4, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_ref = ref_model(torch.from_numpy(x)).numpy()
+    logits, _ = ours(params, state, jnp.asarray(x), train=train)
+    np.testing.assert_allclose(np.asarray(logits), logits_ref,
+                               rtol=1e-3, atol=1e-3)
