@@ -21,6 +21,23 @@ import time
 
 BASELINE_IMG_PER_SEC = 11.99  # reference torch-CPU, measured (see docstring)
 
+# TPU v5e (v5 lite) single-chip peaks, for utilization accounting
+# (PERF.md §roofline): the flagship step is HBM/latency-bound, so the
+# meaningful utilization axis is achieved HBM GB/s; MFU is reported too.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_HBM_GBPS = 819.0
+
+
+def _step_cost(step_fn, example_args):
+    """(flops, hbm_bytes) per training step from XLA's compiled cost model."""
+    import jax
+
+    compiled = jax.jit(step_fn).lower(*example_args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):  # older jax versions wrap per-computation
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -92,6 +109,18 @@ def main():
     dt = min(samples) / n_long
 
     img_per_sec = args.batch_size / dt
+
+    # Utilization accounting (VERDICT r1 #4): per-step flops / HBM bytes
+    # from XLA's compiled cost model on the real device, against v5e peaks.
+    try:
+        flops, hbm_bytes = _step_cost(
+            raw_step, (state.params, state.model_state, state.opt_state,
+                       jnp.int32(0), images, labels, step_rng))
+    except Exception:  # cost model unavailable on this backend
+        flops, hbm_bytes = 0.0, 0.0
+    mfu = flops / dt / V5E_PEAK_BF16_FLOPS if flops else None
+    hbm_gbps = hbm_bytes / dt / 1e9 if hbm_bytes else None
+
     print(json.dumps({
         "metric": "cifar10_train_images_per_sec_per_chip",
         "value": round(img_per_sec, 2),
@@ -100,6 +129,12 @@ def main():
         # the BASELINE.md primary metric pairs throughput with epoch time
         # (50k-image CIFAR-10 epoch; reference CPU epoch ≈ 69.5 min)
         "epoch_s": round(50_000 / img_per_sec, 2),
+        # utilization: the step is HBM/latency-bound (PERF.md §roofline),
+        # so hbm_util is the speed-of-light axis; MFU is for completeness
+        "mfu": round(mfu, 5) if mfu is not None else None,
+        "hbm_gbps": round(hbm_gbps, 1) if hbm_gbps is not None else None,
+        "hbm_util": (round(hbm_gbps / V5E_PEAK_HBM_GBPS, 3)
+                     if hbm_gbps is not None else None),
     }))
 
 
