@@ -130,14 +130,46 @@ def _load_image_folder(root, class_names, size, grayscale):
 
 
 def _load_emotion(data_dir):
+    """Emotion folder layout; when the validation folder is absent/empty the
+    reference falls back to an 80/20 random split of the train set
+    (emotion_recognition.py:304-311, torch random_split) — replicated here
+    with a deterministic seed-0 permutation."""
     base = os.path.join(data_dir, "images")
     xs, ys = _load_image_folder(os.path.join(base, "train"), _EMOTIONS, 48, True)
     xt, yt = _load_image_folder(os.path.join(base, "validation"), _EMOTIONS, 48, True)
+    if len(yt) == 0 and len(ys) > 0:
+        n = len(ys)
+        perm = np.random.default_rng(0).permutation(n)
+        n_train = int(0.8 * n)
+        tr, te = perm[:n_train], perm[n_train:]
+        xs, ys, xt, yt = xs[tr], ys[tr], xs[te], ys[te]
     return xs, ys, xt, yt
+
+
+def _tiny_fallback_image(idx, class_idx):
+    """Deterministic per-index synthetic tiny-imagenet image — the
+    reference's in-__getitem__ fallback recipe (tiny_imagenet.py:497-504):
+    a class base color plus seeded uniform noise."""
+    base = np.array([class_idx % 3, (class_idx // 3) % 3,
+                     (class_idx // 9) % 3]) * 85
+    noise = np.random.RandomState(idx).randint(-20, 20, (64, 64, 3))
+    arr = np.clip(base.reshape(1, 1, 3) + noise, 0, 255).astype(np.uint8)
+    return arr.astype(np.float32).transpose(2, 0, 1) / 255.0
 
 
 def _load_tiny_imagenet(data_dir):
     from PIL import Image
+
+    def read(path, idx, class_idx):
+        """Read one image; unreadable/corrupt files yield the reference's
+        deterministic per-index synthetic fallback instead of raising."""
+        try:
+            img = Image.open(path).convert("RGB")
+            if img.size != (64, 64):
+                img = img.resize((64, 64))
+            return np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
+        except Exception:
+            return _tiny_fallback_image(idx, class_idx)
 
     base = os.path.join(data_dir, "tiny-imagenet-200")
     train_dir = os.path.join(base, "train")
@@ -150,9 +182,9 @@ def _load_tiny_imagenet(data_dir):
             continue
         for fname in sorted(os.listdir(images_dir)):
             if fname.endswith(".JPEG"):
-                img = Image.open(os.path.join(images_dir, fname)).convert("RGB")
-                xs.append(np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0)
-                ys.append(class_to_idx[cname])
+                ci = class_to_idx[cname]
+                xs.append(read(os.path.join(images_dir, fname), len(xs), ci))
+                ys.append(ci)
     val_dir = os.path.join(base, "val")
     xt, yt = [], []
     ann = os.path.join(val_dir, "val_annotations.txt")
@@ -162,9 +194,9 @@ def _load_tiny_imagenet(data_dir):
                 parts = line.strip().split("\t")
                 img_path = os.path.join(val_dir, "images", parts[0])
                 if os.path.exists(img_path) and parts[1] in class_to_idx:
-                    img = Image.open(img_path).convert("RGB")
-                    xt.append(np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0)
-                    yt.append(class_to_idx[parts[1]])
+                    ci = class_to_idx[parts[1]]
+                    xt.append(read(img_path, len(xt), ci))
+                    yt.append(ci)
     return (np.stack(xs), np.asarray(ys, np.int32),
             np.stack(xt), np.asarray(yt, np.int32))
 

@@ -153,3 +153,60 @@ def test_real_loader_mnist_idx(tmp_path, rng):
     np.testing.assert_allclose(ds.train_images[0, 0],
                                xs[0].astype(np.float32) / 255.0)
     np.testing.assert_array_equal(ds.train_labels, ys.astype(np.int32))
+
+
+def test_emotion_8020_fallback_split(tmp_path):
+    """When the validation folder is absent the emotion loader must fall
+    back to an 80/20 train split (emotion_recognition.py:304-311)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for ci, cname in enumerate(["angry", "happy"]):
+        cdir = tmp_path / "images" / "train" / cname
+        cdir.mkdir(parents=True)
+        for j in range(10):
+            arr = (rng.random((48, 48)) * 255).astype(np.uint8)
+            Image.fromarray(arr, mode="L").save(cdir / f"{j}.png")
+
+    ds = load_dataset("emotion", str(tmp_path))
+    assert ds.source == "real"
+    assert ds.train_images.shape == (16, 1, 48, 48)   # 80% of 20
+    assert ds.test_images.shape == (4, 1, 48, 48)     # 20% of 20
+    # split is a permutation: train/test pixels are disjoint images
+    tr = {ds.train_images[i].tobytes() for i in range(16)}
+    te = {ds.test_images[i].tobytes() for i in range(4)}
+    assert not tr & te and len(tr) == 16
+
+    # with a real validation folder present, no split happens
+    vdir = tmp_path / "images" / "validation" / "angry"
+    vdir.mkdir(parents=True)
+    arr = (rng.random((48, 48)) * 255).astype(np.uint8)
+    Image.fromarray(arr, mode="L").save(vdir / "v.png")
+    ds2 = load_dataset("emotion", str(tmp_path))
+    assert ds2.train_images.shape == (20, 1, 48, 48)
+    assert ds2.test_images.shape == (1, 1, 48, 48)
+
+
+def test_tiny_imagenet_corrupt_file_fallback(tmp_path):
+    """Unreadable tiny-imagenet files must yield the reference's
+    deterministic per-index synthetic image (tiny_imagenet.py:497-504)
+    instead of raising."""
+    from cnn_pde_tpu.data import write_synthetic_tiny_imagenet
+    from cnn_pde_tpu.data.real import _tiny_fallback_image
+
+    write_synthetic_tiny_imagenet(str(tmp_path), num_classes=3,
+                                  train_per_class=2, val_total=3)
+    # corrupt the first image of the first class (sorted order)
+    base = tmp_path / "tiny-imagenet-200" / "train"
+    cname = sorted(p.name for p in base.iterdir())[0]
+    victim = sorted((base / cname / "images").iterdir())[0]
+    victim.write_bytes(b"not a jpeg")
+
+    ds = load_dataset("tiny_imagenet", str(tmp_path))
+    assert ds.source == "real"
+    assert ds.train_images.shape == (6, 3, 64, 64)
+    # the corrupt slot carries the deterministic fallback (idx=0, class=0)
+    np.testing.assert_allclose(ds.train_images[0],
+                               _tiny_fallback_image(0, 0))
+    # other images loaded normally (not equal to any fallback pattern)
+    assert not np.allclose(ds.train_images[1], _tiny_fallback_image(1, 0))
