@@ -16,6 +16,7 @@ loops survive tracing.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = ["ftcs_evolve", "laplacian_step", "laplacian"]
@@ -57,8 +58,11 @@ def ftcs_evolve(u: jnp.ndarray, alpha_grid: jnp.ndarray, beta_grid: jnp.ndarray,
     return ui
 
 
-_LAPLACIAN_KERNEL = jnp.array(
-    [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], dtype=jnp.float32
+# numpy (not jnp) on purpose: a module-level device array would initialize
+# the XLA backend at import time, which breaks jax.distributed.initialize
+# (multi-host bring-up must precede any backend use)
+_LAPLACIAN_KERNEL = np.array(
+    [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], dtype=np.float32
 )
 
 

@@ -9,6 +9,7 @@ XLA routes intra-slice collectives over ICI and inter-slice over DCN.
 from __future__ import annotations
 
 import os
+import sys
 
 import jax
 
@@ -19,20 +20,47 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     """jax.distributed.initialize with TPU auto-detection.
 
     On Cloud TPU the three arguments are discovered from the environment;
-    pass them explicitly on other fabrics.  No-op when already initialized or
-    when running single-process.
+    pass them explicitly on other fabrics.  Returns the bring-up outcome:
+
+    * ``"already_initialized"`` — a prior call (or the runtime) already
+      brought the process group up; no-op.
+    * ``"initialized"`` — bring-up succeeded.
+    * ``"single_process"`` — no coordinator is configured anywhere
+      (arguments and environment both empty): legitimately a 1-host run.
+
+    A coordinator that IS configured but fails to connect is a genuine
+    bring-up failure and the underlying error propagates — silently falling
+    back to single-process there would train on 1/N of the data while
+    appearing healthy.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # jax.distributed.is_initialized() is backend-free; jax.process_count()
+    # would itself initialize the XLA backend, defeating the bring-up.
+    if jax.distributed.is_initialized():
+        return "already_initialized"
+    configured = (coordinator_address is not None
+                  or num_processes is not None
+                  or process_id is not None
+                  or any(v in os.environ for v in (
+                      "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                      "CLOUD_TPU_TASK_ID", "TPU_WORKER_ID")))
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        # single-process / no coordinator configured — fine for 1 host
-        pass
+        return "initialized"
+    except RuntimeError:
+        if "already" in str(sys.exc_info()[1]).lower():
+            return "already_initialized"
+        raise
+    except ValueError:
+        # jax raises ValueError when it cannot auto-detect a coordinator;
+        # that is the expected single-host outcome ONLY when nothing was
+        # configured — otherwise the configuration is wrong: propagate.
+        if configured:
+            raise
+        return "single_process"
 
 
 def is_multihost() -> bool:

@@ -1,0 +1,155 @@
+"""Multi-host bring-up tests (SURVEY.md §2.6 item 3).
+
+Unit tests mock jax.distributed to pin down the three distinguishable
+outcomes of ``initialize`` (already-initialized / single-process /
+genuine failure propagates); the integration test runs a REAL 2-process
+``jax.distributed`` group over loopback (CPU + Gloo collectives) and checks
+a cross-process psum.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+import jax
+
+from cnn_pde_tpu.parallel import initialize
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# --------------------------------------------------------------------------
+# mocked unit tests
+
+def test_initialize_noop_when_already_initialized(monkeypatch):
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+
+    def boom(**kw):
+        raise AssertionError("must not re-initialize")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    assert initialize() == "already_initialized"
+
+
+def test_initialize_single_process_when_unconfigured(monkeypatch):
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+
+    def no_coordinator(**kw):
+        raise ValueError("cannot auto-detect coordinator")
+
+    monkeypatch.setattr(jax.distributed, "initialize", no_coordinator)
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "CLOUD_TPU_TASK_ID", "TPU_WORKER_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize() == "single_process"
+
+
+def test_initialize_propagates_failure_when_configured(monkeypatch):
+    """A configured-but-broken coordinator must NOT be silently swallowed."""
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+
+    def bad(**kw):
+        raise ValueError("bad coordinator spec")
+
+    monkeypatch.setattr(jax.distributed, "initialize", bad)
+    with pytest.raises(ValueError):
+        initialize(coordinator_address="broken:0", num_processes=2,
+                   process_id=0)
+
+
+def test_initialize_propagates_env_configured_failure(monkeypatch):
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+
+    def bad(**kw):
+        raise ValueError("cannot reach coordinator")
+
+    monkeypatch.setattr(jax.distributed, "initialize", bad)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "host:1234")
+    with pytest.raises(ValueError):
+        initialize()
+
+
+def test_initialize_propagates_runtime_failure(monkeypatch):
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+
+    def bad(**kw):
+        raise RuntimeError("connection refused")
+
+    monkeypatch.setattr(jax.distributed, "initialize", bad)
+    with pytest.raises(RuntimeError):
+        initialize(coordinator_address="host:1", num_processes=2,
+                   process_id=0)
+
+
+def test_initialize_runtime_already_initialized(monkeypatch):
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+
+    def already(**kw):
+        raise RuntimeError("backend already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    assert initialize() == "already_initialized"
+
+
+def test_initialize_success(monkeypatch):
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    seen = {}
+
+    def ok(**kw):
+        seen.update(kw)
+
+    monkeypatch.setattr(jax.distributed, "initialize", ok)
+    assert initialize(coordinator_address="host:9", num_processes=4,
+                      process_id=2) == "initialized"
+    assert seen == {"coordinator_address": "host:9", "num_processes": 4,
+                    "process_id": 2}
+
+
+# --------------------------------------------------------------------------
+# real 2-process integration test
+
+_WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+    from cnn_pde_tpu.parallel import initialize
+    pid = int(sys.argv[1])
+    out = initialize(coordinator_address={addr!r}, num_processes=2,
+                     process_id=pid)
+    assert out == "initialized", out
+    assert jax.process_count() == 2, jax.process_count()
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    mesh = Mesh(jax.devices(), ("d",))
+    f = jax.jit(shard_map(lambda x: jax.lax.psum(x, "d"), mesh=mesh,
+                          in_specs=P("d"), out_specs=P()))
+    x = jnp.asarray(np.arange(len(jax.devices()), dtype=np.float32))
+    print("PSUM", float(np.asarray(f(x))[0]), flush=True)
+""")
+
+
+def test_two_process_bringup_and_psum():
+    """Real jax.distributed 2-process group over loopback: both processes
+    initialize through cnn_pde_tpu.parallel.initialize and agree on a
+    cross-process psum (1 CPU device per process → psum(0+1) == 1)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        addr = f"localhost:{s.getsockname()[1]}"
+    script = _WORKER.format(repo=REPO, addr=addr)
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(pid)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True,
+                              env={**os.environ, "JAX_PLATFORMS": "cpu",
+                                   "XLA_FLAGS": ""})
+             for pid in (0, 1)]
+    outs = [p.communicate(timeout=180)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "PSUM 1.0" in out, out
