@@ -22,6 +22,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# display class names per dataset (fashion_mnist.py:10-14,
+# emotion_recognition.py:100-103; digit/object datasets use index labels)
+_CLASS_NAMES = {
+    "fashion_mnist": ["T-shirt/top", "Trouser", "Pullover", "Dress", "Coat",
+                      "Sandal", "Shirt", "Sneaker", "Bag", "Ankle boot"],
+    "emotion": ["angry", "disgust", "fear", "happy", "sad", "surprise",
+                "neutral"],
+    "cifar10": ["plane", "car", "bird", "cat", "deer", "dog", "frog",
+                "horse", "ship", "truck"],
+}
+
 
 def main():
     ap = argparse.ArgumentParser(description="cnn_pde_tpu analyzer")
@@ -38,6 +49,7 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     from .data import load_dataset
+    from .data.real import NORMALIZATION as _NORM
     from .models import MODEL_REGISTRY
     from .nn import Ctx
     from .train import Trainer, restore_state
@@ -52,7 +64,10 @@ def main():
     from .utils.viz import (
         save_coefficient_heatmaps,
         save_confusion_matrix,
+        save_fashion_panel,
+        save_per_class_accuracy_bars,
         save_prediction_panel,
+        save_svhn_panel,
     )
 
     preset = get_preset(args.preset)
@@ -80,6 +95,16 @@ def main():
     save_confusion_matrix(
         os.path.join(args.output_dir, f"{preset.name}_confusion.png"),
         summary["confusion_matrix"])
+
+    # per-class accuracy bars (SVHN.py:563-578; the A2 per-class table's
+    # graphical counterpart, fashion_mnist.py:341-368)
+    cm = np.asarray(summary["confusion_matrix"], dtype=float)
+    per_class = 100.0 * np.diag(cm) / np.maximum(cm.sum(axis=1), 1.0)
+    class_names = _CLASS_NAMES.get(preset.dataset)
+    save_per_class_accuracy_bars(
+        os.path.join(args.output_dir, f"{preset.name}_per_class_acc.png"),
+        per_class, class_names)
+    out["per_class_accuracy"] = [round(float(a), 2) for a in per_class]
 
     # PDE-layer analysis when per-pixel fields exist (P1/P2 family)
     diff_params = state.params.get("diff")
@@ -123,8 +148,10 @@ def main():
              ("Beta Time Coeff", np.asarray(diff_params["beta_time_coeff"]))])
 
     # prediction panel with after-PDE images for PDE-front-end models
-    images = dataset.test_images[:6]
-    norm_images = next(dataset.eval_batches(6))[0]
+    n_vis = min(8, dataset.test_images.shape[0])
+    images = dataset.test_images[:n_vis]
+    vis_labels = dataset.test_labels[:n_vis]
+    norm_images = next(dataset.eval_batches(n_vis))[0]
     logits, _ = model(state.params, state.model_state, jnp.asarray(norm_images))
     preds = np.asarray(jnp.argmax(logits, -1))
     diffused = None
@@ -132,9 +159,43 @@ def main():
         d_out, _ = pde.apply(state.params["diff"], state.model_state.get("diff", {}),
                              jnp.asarray(norm_images), Ctx(train=False))
         diffused = np.asarray(d_out)
+        # denormalize for display, as the reference does (SVHN.py:461-464,
+        # fashion_mnist.py:421-423)
+        mean, std = _NORM.get(preset.dataset, (None, None))
+        if mean is not None:
+            shape = (1, -1, 1, 1)
+            diffused = np.clip(
+                diffused * np.reshape(std, shape) + np.reshape(mean, shape),
+                0.0, 1.0)
     save_prediction_panel(
         os.path.join(args.output_dir, f"{preset.name}_predictions.png"),
-        images, dataset.test_labels[:6], preds, diffused=diffused)
+        images, vis_labels, preds, diffused=diffused)
+
+    # A2/A3 mega-panels (fashion_mnist.py:396-441, SVHN.py:483-580)
+    if diffused is not None and diff_params is not None \
+            and "alpha_time_coeff" in diff_params:
+        t_final = pde.num_steps * pde.dt
+        alpha_f = np.maximum(
+            np.asarray(diff_params["alpha_base"])
+            + np.asarray(diff_params["alpha_time_coeff"]) * t_final, 1e-6)
+        beta_f = np.maximum(
+            np.asarray(diff_params["beta_base"])
+            + np.asarray(diff_params["beta_time_coeff"]) * t_final, 1e-6)
+        if preset.dataset == "fashion_mnist" and alpha_f.ndim == 2:
+            save_fashion_panel(
+                os.path.join(args.output_dir, f"{preset.name}_panel.png"),
+                images, vis_labels, preds, diffused, alpha_f, beta_f,
+                np.asarray(diff_params["alpha_time_coeff"]),
+                np.asarray(diff_params["beta_time_coeff"]),
+                class_names=class_names)
+        if "channel_coupling" in diff_params and alpha_f.ndim == 3:
+            save_svhn_panel(
+                os.path.join(args.output_dir, f"{preset.name}_panel.png"),
+                images, vis_labels, preds, diffused, alpha_f, beta_f,
+                np.asarray(diff_params["channel_coupling"]),
+                np.asarray(diff_params["alpha_time_coeff"]).mean(axis=(1, 2)),
+                summary["confusion_matrix"], per_class,
+                class_names=class_names)
 
     with open(os.path.join(args.output_dir, f"{preset.name}_report.json"),
               "w") as f:

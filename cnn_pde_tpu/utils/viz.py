@@ -12,7 +12,9 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["save_prediction_panel", "save_coefficient_heatmaps",
-           "save_confusion_matrix", "save_training_curves"]
+           "save_confusion_matrix", "save_training_curves",
+           "save_per_class_accuracy_bars", "save_fashion_panel",
+           "save_svhn_panel"]
 
 
 def _plt():
@@ -90,6 +92,161 @@ def save_confusion_matrix(path, cm, class_names=None):
     ax.set_title("Confusion Matrix")
     fig.tight_layout()
     fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
+
+
+def save_per_class_accuracy_bars(path, per_class_acc, class_names=None,
+                                 title="Per-Class Accuracy"):
+    """Viridis-colored per-class accuracy bars with value labels
+    (SVHN.py:563-578)."""
+    plt = _plt()
+    acc = np.asarray(per_class_acc, dtype=float)
+    n = acc.shape[0]
+    fig, ax = plt.subplots(figsize=(max(6, 0.8 * n), 4.5))
+    bars = ax.bar(range(n), acc, color=plt.cm.viridis(acc / 100.0))
+    ticks = class_names or [str(i) for i in range(n)]
+    ax.set_xticks(range(n), ticks,
+                  rotation=45 if max(len(t) for t in ticks) > 3 else 0,
+                  fontsize=8)
+    ax.set_xlabel("Class")
+    ax.set_ylabel("Accuracy (%)")
+    ax.set_title(title)
+    ax.set_ylim(0, 100)
+    for bar, h in zip(bars, acc):
+        ax.text(bar.get_x() + bar.get_width() / 2.0, h + 1, f"{h:.1f}%",
+                ha="center", va="bottom", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
+
+
+def _sample_rows(plt, n_cols, images, labels, predictions, diffused, name,
+                 sub):
+    """Three 8-wide sample rows shared by the A2/A3 panels: original+true,
+    original+pred (green/red), after-PDE."""
+    k = min(n_cols, images.shape[0])
+    for i in range(k):
+        img = np.asarray(images[i]).transpose(1, 2, 0).squeeze()
+        ax = sub(0, i)
+        ax.imshow(np.clip(img, 0, 1), cmap="gray")
+        ax.axis("off")
+        ax.set_title(f"True: {name(int(labels[i]))}", fontsize=8)
+        ax = sub(1, i)
+        ax.imshow(np.clip(img, 0, 1), cmap="gray")
+        ax.axis("off")
+        ok = int(predictions[i]) == int(labels[i])
+        ax.set_title(f"Pred: {name(int(predictions[i]))}",
+                     color="green" if ok else "red", fontsize=8)
+        ax = sub(2, i)
+        dimg = np.asarray(diffused[i]).transpose(1, 2, 0).squeeze()
+        ax.imshow(np.clip(dimg, 0, 1), cmap="gray")
+        ax.axis("off")
+        ax.set_title("After PDE", fontsize=8)
+
+
+def save_fashion_panel(path, images, labels, predictions, diffused,
+                       alpha_final, beta_final, alpha_time, beta_time,
+                       class_names=None):
+    """The A2 6×8 mega-panel (fashion_mnist.py:396-441): three 8-wide sample
+    rows (original / prediction / after-PDE) plus the four coefficient-field
+    heatmaps (final α, final β, α/β time coefficients)."""
+    plt = _plt()
+    fig = plt.figure(figsize=(20, 14))
+    gs = fig.add_gridspec(6, 8)
+    name = (lambda i: class_names[i]) if class_names else str
+    _sample_rows(plt, 8, images, labels, predictions, diffused, name,
+                 lambda r, c: fig.add_subplot(gs[r, c]))
+    # positions 25/26/33/34 in the reference's 6x8 numbering → (3,0)(3,1)(4,0)(4,1)
+    fields = [(alpha_final, "Final Alpha Matrix", (3, 0)),
+              (beta_final, "Final Beta Matrix", (3, 1)),
+              (alpha_time, "Alpha Time Coeff", (4, 0)),
+              (beta_time, "Beta Time Coeff", (4, 1))]
+    for field, title, (r, c) in fields:
+        ax = fig.add_subplot(gs[r, c])
+        im = ax.imshow(np.asarray(field), cmap="RdBu_r")
+        fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
+        ax.set_title(title, fontsize=10)
+        ax.axis("off")
+    fig.suptitle("PDE Diffusion Network on Fashion-MNIST\n"
+                 "Time-Dependent Matrix Coefficients", fontsize=16)
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return path
+
+
+def save_svhn_panel(path, images, labels, predictions, diffused,
+                    alpha_final, beta_final, coupling, time_coeff_by_channel,
+                    confusion, per_class_acc, class_names=None):
+    """The A3 7×8 mega-panel (SVHN.py:483-580): three 8-wide sample rows,
+    per-channel final α/β heatmaps, the channel-coupling matrix heatmap,
+    mean time-coefficient bars per channel, the confusion matrix and the
+    per-class accuracy bars."""
+    plt = _plt()
+    fig = plt.figure(figsize=(24, 20))
+    gs = fig.add_gridspec(7, 8)
+    name = (lambda i: class_names[i]) if class_names else str
+    _sample_rows(plt, 8, images, labels, predictions, diffused, name,
+                 lambda r, c: fig.add_subplot(gs[r, c]))
+
+    alpha_final = np.asarray(alpha_final)
+    beta_final = np.asarray(beta_final)
+    for c in range(3):  # α ch0-2 then β ch0-2 on row 4 (ref positions 25-30)
+        ax = fig.add_subplot(gs[3, c])
+        im = ax.imshow(alpha_final[c], cmap="RdBu_r")
+        fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
+        ax.set_title(f"α Matrix Ch{c}", fontsize=10)
+        ax.axis("off")
+        ax = fig.add_subplot(gs[3, 3 + c])
+        im = ax.imshow(beta_final[c], cmap="RdBu_r")
+        fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
+        ax.set_title(f"β Matrix Ch{c}", fontsize=10)
+        ax.axis("off")
+
+    ax = fig.add_subplot(gs[3, 6])  # ref position 31
+    im = ax.imshow(np.asarray(coupling), cmap="RdBu_r")
+    fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
+    ax.set_title("Channel Coupling", fontsize=10)
+
+    ax = fig.add_subplot(gs[3, 7])  # ref position 32
+    ax.bar(["R", "G", "B"], np.asarray(time_coeff_by_channel),
+           color=["red", "green", "blue"], alpha=0.7)
+    ax.set_title("Time Coeffs by Channel", fontsize=10)
+
+    cm = np.asarray(confusion)
+    ax = fig.add_subplot(gs[4:7, 0:4])  # bottom: large confusion matrix
+    im = ax.imshow(cm, interpolation="nearest", cmap="Blues")
+    fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
+    ax.set_title("Confusion Matrix", fontsize=14)
+    ticks = class_names or [str(i) for i in range(cm.shape[0])]
+    ax.set_xticks(range(len(ticks)), ticks, fontsize=8)
+    ax.set_yticks(range(len(ticks)), ticks, fontsize=8)
+    ax.set_xlabel("Predicted Label", fontsize=12)
+    ax.set_ylabel("True Label", fontsize=12)
+    thresh = cm.max() / 2.0
+    for i in range(cm.shape[0]):
+        for j in range(cm.shape[1]):
+            ax.text(j, i, str(int(cm[i, j])), ha="center", va="center",
+                    color="white" if cm[i, j] > thresh else "black",
+                    fontsize=8)
+
+    acc = np.asarray(per_class_acc, dtype=float)
+    ax = fig.add_subplot(gs[4:7, 4:8])  # bottom: per-class accuracy bars
+    bars = ax.bar(range(len(acc)), acc, color=plt.cm.viridis(acc / 100.0))
+    ax.set_xticks(range(len(acc)), ticks, fontsize=9)
+    ax.set_xlabel("Class", fontsize=12)
+    ax.set_ylabel("Accuracy (%)", fontsize=12)
+    ax.set_title("Per-Class Accuracy", fontsize=14)
+    ax.set_ylim(0, 100)
+    for bar, h in zip(bars, acc):
+        ax.text(bar.get_x() + bar.get_width() / 2.0, h + 1, f"{h:.1f}%",
+                ha="center", va="bottom", fontsize=8)
+
+    fig.suptitle("PDE Diffusion Neural Network on SVHN Dataset", fontsize=16)
+    fig.tight_layout()
+    fig.savefig(path, dpi=90)
     plt.close(fig)
     return path
 

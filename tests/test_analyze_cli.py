@@ -25,3 +25,34 @@ def test_analyze_cli_mnist(tmp_path):
         assert path.exists() and path.stat().st_size > 0, suffix
     report = json.loads((tmp_path / "mnist_report.json").read_text())
     assert "accuracy" in report and "cfl" in report and "anisotropy" in report
+
+
+def test_analyze_cli_svhn_mega_panel(tmp_path):
+    """A3 surface: per-class accuracy bars + the 7×8 mega-panel
+    (channel-wise coefficient maps, coupling-matrix heatmap,
+    SVHN.py:447-584)."""
+    out = subprocess.run(
+        [sys.executable, "-m", "cnn_pde_tpu.analyze", "--preset", "svhn",
+         "--synthetic", "--output-dir", str(tmp_path), "--platform", "cpu"],
+        cwd=REPO, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    for suffix in ("confusion.png", "per_class_acc.png", "panel.png",
+                   "predictions.png", "report.json"):
+        path = tmp_path / f"svhn_{suffix}"
+        assert path.exists() and path.stat().st_size > 0, suffix
+    report = json.loads((tmp_path / "svhn_report.json").read_text())
+    assert len(report["per_class_accuracy"]) == 10
+
+
+def test_analyze_cli_fashion_mega_panel(tmp_path):
+    """A2 surface: the 6×8 panel with final/time coefficient heatmaps
+    (fashion_mnist.py:370-442)."""
+    out = subprocess.run(
+        [sys.executable, "-m", "cnn_pde_tpu.analyze", "--preset",
+         "fashion_mnist", "--synthetic", "--output-dir", str(tmp_path),
+         "--platform", "cpu"],
+        cwd=REPO, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    for suffix in ("per_class_acc.png", "panel.png"):
+        path = tmp_path / f"fashion_mnist_{suffix}"
+        assert path.exists() and path.stat().st_size > 0, suffix
