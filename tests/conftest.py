@@ -33,3 +33,45 @@ def rng():
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
+
+
+# ---------------------------------------------------------------------------
+# quick tier: `pytest -m quick` — a ~3-minute core subset for the inner loop:
+# one sharding-equivalence test per sharded kernel family, golden parity per
+# PDE layer family, and one solver/stencil correctness test each.  The full
+# suite (~30 min) remains CI's job.
+QUICK_TESTS = {
+    # sharded kernels (one equivalence test each)
+    "test_parallel.py::test_ftcs_spatial_matches_unsharded",
+    "test_parallel.py::test_adi_spatial_matches_unsharded[True]",
+    "test_parallel.py::test_tridiag_partitioned_matches_unsharded",
+    "test_parallel.py::test_adi_partitioned_matches_unsharded[True]",
+    "test_parallel.py::test_laplacian_spatial_matches_unsharded",
+    "test_parallel.py::test_dp_train_step_matches_single_device",
+    # golden parity per PDE layer family (float64 oracle)
+    "test_pde_layers.py::test_grayscale_mnist_parity",
+    "test_pde_layers.py::test_grayscale_fashion_parity",
+    "test_pde_layers.py::test_svhn_channel_coupled_parity",
+    "test_pde_layers.py::test_mixed_channel_parity[strang]",
+    "test_pde_layers.py::test_mixed_channel_parity[lie]",
+    "test_pde_layers.py::test_fourier_ftcs_full_evolution_parity",
+    "test_pde_layers.py::test_residual_diffusion[False]",
+    "test_pde_layers.py::test_parabolic_and_hamiltonian_blocks",
+    # numerics core
+    "test_tridiag.py::test_eps_semantics_matches_reference_recurrence",
+    "test_tridiag.py::test_pcr_matches_scan[28]",
+    "test_ops.py::test_ftcs_frozen_boundary_semantics",
+    "test_ops.py::test_laplacian_step_matches_torch_conv2d",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "quick: fast core subset (~3 min) for the inner loop")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = f"{os.path.basename(str(item.fspath))}::{item.name}"
+        if rel in QUICK_TESTS:
+            item.add_marker(pytest.mark.quick)
