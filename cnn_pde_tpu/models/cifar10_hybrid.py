@@ -32,8 +32,15 @@ class HybridPDEExtractor(Module):
                                                 num_steps=8, splitting="lie")
         self.diffusion2 = MixedChannelDiffusion(input_size, channels, dt=0.002,
                                                 num_steps=5, splitting="lie")
-        self.parabolic = ParabolicBlock(channels, input_size, num_steps=4, dt=0.5)
-        self.hamiltonian = HamiltonianBlock(channels, input_size, num_steps=3, dt=0.8)
+        # bf16 operands for the Ruthotto K matmuls: THIS model is the one the
+        # reference trains under AMP autocast (cifar_2version.py:503), and
+        # the blocks are weight-traffic-bound (see pde/ruthotto.py).  The
+        # layers themselves default to exact f32.
+        self.parabolic = ParabolicBlock(channels, input_size, num_steps=4,
+                                        dt=0.5, compute_dtype=jnp.bfloat16)
+        self.hamiltonian = HamiltonianBlock(channels, input_size, num_steps=3,
+                                            dt=0.8,
+                                            compute_dtype=jnp.bfloat16)
         self.feature_norm = BatchNorm(channels)
 
     def init(self, key):

@@ -178,6 +178,11 @@ def _inv_apply_einsum(X, d, transpose):
     cb_shape = jnp.broadcast_shapes(X.shape[:-2], d.shape[extra:-1])
     X = jnp.broadcast_to(X, cb_shape + X.shape[-2:])
     d = jnp.broadcast_to(d, d.shape[:extra] + cb_shape + d.shape[-1:])
+    if extra > 6 or cb > 6:
+        raise ValueError(
+            f"_inv_apply_einsum supports at most 6 extra batch dims and 6 "
+            f"coefficient-batch dims (got extra={extra}, cb={cb}); reshape "
+            f"the leading batch dims into one before calling")
     L = "abcdef"[:extra]
     C = "mnopqr"[:cb]
     rhs = f"{C}ki" if not transpose else f"{C}ik"

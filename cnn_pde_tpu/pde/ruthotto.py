@@ -26,21 +26,21 @@ __all__ = ["SymmetricLayer", "ParabolicBlock", "HamiltonianBlock"]
 
 class SymmetricLayer(Module):
     def __init__(self, channels, spatial_size, activation="relu",
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.float32):
         self.channels = channels
         self.spatial_size = spatial_size
         self.feature_dim = channels * spatial_size * spatial_size
         self.K = Linear(self.feature_dim, self.feature_dim, bias=False,
                         weight_init="eye_plus_noise")
         self.norm = BatchNorm(self.feature_dim)
-        # The reference trains this model under AMP autocast
-        # (cifar_2version.py:503), which runs exactly these K matmuls in
-        # half precision.  bf16 is the TPU analogue AND the perf-critical
-        # choice: the step is weight-traffic-bound (K is 3072² ≈ 37.7 MB f32,
-        # streamed ~20× per step across the parabolic/Hamiltonian loops), so
-        # halving the operand bytes halves the dominant HBM cost.  Master
-        # params, BN statistics and accumulation stay f32.  Pass
-        # compute_dtype=jnp.float32 to disable.
+        # Exact f32 by default, like every other layer on the parity
+        # surface.  The HYBRID MODEL opts into bf16 operands for the K
+        # matmuls (models/cifar10_hybrid.py): the reference trains that model
+        # under AMP autocast (cifar_2version.py:503), and the step is
+        # weight-traffic-bound (K is 3072² ≈ 37.7 MB f32, streamed ~20× per
+        # step across the parabolic/Hamiltonian loops), so halving operand
+        # bytes halves the dominant HBM cost.  Master params, BN statistics
+        # and accumulation stay f32 either way.
         self.compute_dtype = compute_dtype
         if activation == "relu":
             self.act = jax.nn.relu
@@ -72,7 +72,7 @@ class ParabolicBlock(Module):
     """∂_t Y = F_sym(Y), forward Euler (cifar_2version.py:225-238)."""
 
     def __init__(self, channels, spatial_size, num_steps=3, dt=1.0,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.float32):
         self.num_steps = num_steps
         self.dt = dt
         self.sym = SymmetricLayer(channels, spatial_size,
@@ -94,7 +94,7 @@ class HamiltonianBlock(Module):
     """Symplectic two-field integrator (cifar_2version.py:241-258)."""
 
     def __init__(self, channels, spatial_size, num_steps=3, dt=1.0,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.float32):
         self.num_steps = num_steps
         self.dt = dt
         self.F_Y = SymmetricLayer(channels, spatial_size,

@@ -289,8 +289,11 @@ class Trainer:
             if verbose:
                 print(f"Epoch {epoch0+e+1} - Loss: {avg_loss:.4f}, "
                       f"Train Acc: {avg_acc:.2f}%, Time: {dt/n_epochs:.2f}s")
+            # 'chunk' > 1 tells history consumers this epoch's 'time' is the
+            # chunk wall time averaged over the fused epochs, not a per-epoch
+            # measurement (and that param_stats_fn saw only chunk-end params)
             out.append({"loss": avg_loss, "acc": avg_acc,
-                        "time": dt / n_epochs})
+                        "time": dt / n_epochs, "chunk": n_epochs})
         return out
 
     def _train_epoch_on_device(self, state: TrainState, dataset, epoch: int,
@@ -350,13 +353,19 @@ class Trainer:
         if verbose:
             print(f"Epoch {epoch+1} - Loss: {avg_loss:.4f}, "
                   f"Train Acc: {avg_acc:.2f}%, Time: {dt:.2f}s")
-        return {"loss": avg_loss, "acc": avg_acc, "time": dt}
+        return {"loss": avg_loss, "acc": avg_acc, "time": dt, "chunk": 1}
 
     def _evaluate_on_device(self, state: TrainState, dataset, *, split):
         """Whole eval split in one jit dispatch: pad to a batch multiple,
         scan batches, fetch only the predictions (padding sliced off on
         host).  One cache slot per split, replaced when the dataset object
-        changes (no unbounded HBM pinning across datasets)."""
+        changes (no unbounded HBM pinning across datasets).
+
+        HBM cost: the padded split stays device-resident for the Trainer's
+        lifetime (replicated on every device under a DP mesh).  Fine for the
+        preset-scale splits (CIFAR-10 test = 120 MB f32); for an oversized
+        split prefer the per-batch host eval by constructing the Trainer
+        with device_epoch=False."""
         cfg = self.config
         cached = self._dev_eval.get(split)
         if cached is None or cached[0] is not dataset:

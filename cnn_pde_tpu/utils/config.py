@@ -32,6 +32,7 @@ class Preset:
     schedule: str                # 'cosine' | 'onecycle'
     schedule_kwargs: dict = field(default_factory=dict)
     label_smoothing: float = 0.1
+    clip_norm: Optional[float] = 1.0   # global-norm clip; None = no clipping
     default_lr_scale: float = 1.0
     param_groups: Sequence[ParamGroup] = ()
     regularizer: Optional[Callable] = None
@@ -60,6 +61,7 @@ class Preset:
             epochs=self.epochs,
             batch_size=self.batch_size,
             label_smoothing=self.label_smoothing,
+            clip_norm=self.clip_norm,
             weight_decay=self.weight_decay,
             default_lr_scale=self.default_lr_scale,
             param_groups=self.param_groups,
@@ -128,12 +130,14 @@ PRESETS = {
                             hue=0.1, erasing_p=0.1, **_norm("cifar10")),
     ),
     # emotion_recognition.py:265-369 — ≤70 epochs, bs 64, AdamW 1e-3/1e-4,
-    # cosine T=70 eta_min 1e-6, eval every 5, early stop patience 10 (per eval)
+    # cosine T=70 eta_min 1e-6, eval every 5, early stop patience 10 (per
+    # eval); its train_epoch (:198-227) is the ONE loop with no grad clip
     "emotion": Preset(
         name="emotion", model="emotion", dataset="emotion",
         epochs=70, batch_size=64, lr=1e-3, weight_decay=1e-4,
         schedule="cosine", schedule_kwargs={"t_max": 70, "eta_min": 1e-6},
-        label_smoothing=0.0, eval_every=5, early_stop_patience=10,
+        label_smoothing=0.0, clip_norm=None, eval_every=5,
+        early_stop_patience=10,
         num_classes=7,
         augment=AugmentSpec(hflip=0.5, rotation=10.0),
     ),

@@ -122,12 +122,10 @@ def test_residual_diffusion(rng, key, use_implicit):
 def test_symmetric_layer_structure(rng, key):
     """F_sym output = −σ(BN(Y@w))@wᵀ; check against direct computation.
 
-    The structure check runs with compute_dtype=f32 (exact); the default
-    layer uses bf16 operands for the K matmuls (the reference trains this
-    model under AMP autocast — cifar_2version.py:503) and must agree to
-    half-precision tolerance."""
-    layer = SymmetricLayer(channels=2, spatial_size=4,
-                           compute_dtype=jnp.float32)
+    The default layer is exact f32; the bf16-operand variant (what the
+    hybrid model opts into — the reference trains it under AMP autocast,
+    cifar_2version.py:503) must agree to half-precision tolerance."""
+    layer = SymmetricLayer(channels=2, spatial_size=4)
     params, state = layer.init(key)
     Y = jnp.asarray(rng.standard_normal((8, 2, 4, 4)).astype(np.float32))
     out, _ = layer(params, state, Y, train=True)
@@ -142,7 +140,8 @@ def test_symmetric_layer_structure(rng, key):
     np.testing.assert_allclose(np.asarray(out).reshape(8, -1),
                                np.asarray(expected), rtol=1e-4, atol=1e-5)
 
-    out_bf16, _ = SymmetricLayer(channels=2, spatial_size=4)(
+    out_bf16, _ = SymmetricLayer(channels=2, spatial_size=4,
+                                 compute_dtype=jnp.bfloat16)(
         params, state, Y, train=True)
     assert out_bf16.dtype == jnp.float32  # f32 accumulation/output
     np.testing.assert_allclose(np.asarray(out_bf16).reshape(8, -1),
