@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--quick", action="store_true", help="fewer timing iters")
+    ap.add_argument("--amp", action="store_true",
+                    help="bf16 explicit-inverse solves (matinv_bf16) — the "
+                         "AMP-analogue opt-in (the reference trains this "
+                         "model under autocast, cifar10.py:440); NOT the "
+                         "exact-parity surface")
     args = ap.parse_args()
     if args.quick:
         args.iters = 5
@@ -56,6 +61,11 @@ def main():
     from cnn_pde_tpu.models import MODEL_REGISTRY
     from cnn_pde_tpu.train import Trainer
     from cnn_pde_tpu.utils.config import get_preset
+
+    if args.amp:
+        from cnn_pde_tpu.ops.tridiag import set_default_impl
+
+        set_default_impl("matinv_bf16")
 
     preset = get_preset("cifar10_noconv")
     model = MODEL_REGISTRY[preset.model]()
@@ -135,6 +145,7 @@ def main():
         "hbm_gbps": round(hbm_gbps, 1) if hbm_gbps is not None else None,
         "hbm_util": (round(hbm_gbps / V5E_PEAK_HBM_GBPS, 3)
                      if hbm_gbps is not None else None),
+        "amp": bool(args.amp),
     }))
 
 

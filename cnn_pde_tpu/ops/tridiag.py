@@ -168,7 +168,9 @@ def _inv_apply_einsum(X, d, transpose):
     dot_general BATCH dims and the true batch dims of d become the M dim —
     per coefficient row one (M, N) @ (N, N) matmul instead of M degenerate
     (1, N) products.  HIGHEST precision keeps the PDE parity surface
-    exact-f32 (the repo invariant for any matmul on this surface)."""
+    exact-f32 (the repo invariant for any matmul on this surface); a bf16 X
+    (the 'matinv_bf16' impl — the AMP-analogue opt-in) runs the matmul at
+    native MXU precision with f32 accumulation instead."""
     cb = X.ndim - 2
     if d.ndim - 1 < cb:  # rare: RHS has fewer dims than the coefficient batch
         d = jnp.reshape(d, (1,) * (cb + 1 - d.ndim) + d.shape)
@@ -186,6 +188,10 @@ def _inv_apply_einsum(X, d, transpose):
     L = "abcdef"[:extra]
     C = "mnopqr"[:cb]
     rhs = f"{C}ki" if not transpose else f"{C}ik"
+    if X.dtype == jnp.bfloat16:
+        return jnp.einsum(f"{L}{C}k,{rhs}->{L}{C}i",
+                          d.astype(jnp.bfloat16), X,
+                          preferred_element_type=jnp.float32)
     return jnp.einsum(f"{L}{C}k,{rhs}->{L}{C}i", d, X,
                       precision=lax.Precision.HIGHEST)
 
@@ -243,11 +249,16 @@ def set_default_impl(impl: str):
       'matinv' batch-free explicit inverse + one MXU matmul per solve
                (coefficients must broadcast over the batch — true for every
                ADI sweep here; measured ≈ pcr on v5e, see PERF.md)
+      'matinv_bf16' matinv with the inverse operator and matmul operands in
+               bf16 (f32 accumulation) — the AMP-analogue opt-in (the
+               reference trains both CIFAR models under autocast,
+               cifar10.py:440); NOT on the exact-parity surface
       'pallas' fused VMEM kernel (TPU only; bit-exact vs 'scan')
       'auto'   pcr (measured fastest in chained training loops)
     Returns the previous setting."""
     global _DEFAULT_IMPL
-    assert impl in ("scan", "pcr", "matinv", "pallas", "auto"), impl
+    assert impl in ("scan", "pcr", "matinv", "matinv_bf16", "pallas",
+                    "auto"), impl
     prev = _DEFAULT_IMPL
     _DEFAULT_IMPL = impl
     return prev
@@ -256,10 +267,12 @@ def set_default_impl(impl: str):
 def _resolve_impl():
     if _DEFAULT_IMPL != "auto":
         return _DEFAULT_IMPL
-    # Measured on v5e (full CIFAR-10 train step, batch 64): pcr 1.9 ms,
-    # pallas 2.9 ms, scan 2.5 ms.  PCR fuses into the surrounding XLA graph;
-    # the per-sweep pallas_call launches + layout transposes don't (yet) —
-    # the fused-whole-layer kernel is the planned flip point.
+    # Measured on v5e (full CIFAR-10 train step, batch 64, PERF.md r2 A/B):
+    # pcr 2.26 ms, matinv 2.30, matinv_bf16 1.94, pallas 6.80, scan 5.34.
+    # PCR fuses into the surrounding XLA graph and is the fastest EXACT
+    # impl; matinv_bf16 is 14% faster but half-precision (the AMP-analogue
+    # opt-in — not a default on the parity surface).  The fused whole-layer
+    # Pallas kernels are retired to opt-in status (PERF.md r2 decision).
     return "pcr"
 
 
@@ -269,8 +282,11 @@ def _solve_impl(a, b, c, d):
         from .pallas_thomas import _solve as pallas_solve
 
         return pallas_solve(a, b, c, d)
-    if impl == "matinv":
-        return _apply_inverse(tridiag_inverse_operator(a, b, c, d.dtype), d)
+    if impl in ("matinv", "matinv_bf16"):
+        X = tridiag_inverse_operator(a, b, c, d.dtype)
+        if impl == "matinv_bf16":  # compute the inverse in f32, store bf16
+            X = X.astype(jnp.bfloat16)
+        return _apply_inverse(X, d)
     if impl == "pcr":
         return tridiag_solve_pcr(a, b, c, d)
     return _thomas_scan(a, b, c, d)
@@ -299,8 +315,11 @@ def tridiag_solve(a, b, c, d):
 
 
 def _tridiag_fwd(a, b, c, d):
-    if _resolve_impl() == "matinv":
+    impl = _resolve_impl()
+    if impl in ("matinv", "matinv_bf16"):
         X = tridiag_inverse_operator(a, b, c, d.dtype)
+        if impl == "matinv_bf16":  # compute the inverse in f32, store bf16
+            X = X.astype(jnp.bfloat16)
         x = _apply_inverse(X, d)
         # save X: the backward reuses it as the transposed application — no
         # second (adjoint) solve at all

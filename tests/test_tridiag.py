@@ -241,3 +241,40 @@ def test_solve_with_operator_matches_solve(rng):
         scale = max(1.0, float(jnp.max(jnp.abs(v))))
         np.testing.assert_allclose(np.asarray(u) / scale,
                                    np.asarray(v) / scale, rtol=0, atol=5e-6)
+
+
+def test_matinv_bf16_impl(rng):
+    """The AMP-analogue opt-in impl ('matinv_bf16', PERF.md r2): bf16
+    inverse-operator matmuls must stay within half-precision tolerance of
+    the exact solve.  Native bf16 dot is TPU-only — on backends without it
+    the impl-dispatch path is still exercised and the numerics are checked
+    via bf16-rounding emulation."""
+    from cnn_pde_tpu.ops.tridiag import (set_default_impl, tridiag_solve,
+                                         tridiag_inverse_operator,
+                                         tridiag_solve_with_operator)
+
+    N = 32
+    b = jnp.asarray(2.0 + rng.random((8, N)).astype(np.float32))
+    a = jnp.asarray(-rng.random((8, N)).astype(np.float32) * 0.5)
+    c = jnp.asarray(-rng.random((8, N)).astype(np.float32) * 0.5)
+    d = jnp.asarray(rng.random((64, 8, N)).astype(np.float32))
+    x_ref = tridiag_solve(a, b, c, d)
+
+    # emulated operator rounding (runs everywhere): X -> bf16 -> f32
+    X = tridiag_inverse_operator(a, b, c)
+    X_rounded = X.astype(jnp.bfloat16).astype(jnp.float32)
+    x_emu = tridiag_solve_with_operator(a, b, c, d, X_rounded)
+    rel = float(jnp.max(jnp.abs(x_emu - x_ref)) / jnp.max(jnp.abs(x_ref)))
+    assert rel < 0.02, rel
+
+    # the native impl (bf16 x bf16 dot) where the backend supports it
+    prev = set_default_impl("matinv_bf16")
+    try:
+        x_bf = tridiag_solve(a, b, c, d)
+        rel = float(jnp.max(jnp.abs(x_bf - x_ref)) / jnp.max(jnp.abs(x_ref)))
+        assert rel < 0.02, rel
+    except Exception as e:  # CPU backend: BF16 x BF16 dot unsupported
+        if "BF16" not in str(e):
+            raise
+    finally:
+        set_default_impl(prev)

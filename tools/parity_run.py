@@ -1,12 +1,26 @@
-"""End-to-end accuracy parity: train the ACTUAL reference MNIST script's model
-(torch CPU) and our mnist preset on the SAME synthetic dataset, same epochs,
-and compare test accuracy.
+"""End-to-end accuracy parity, ALL seven families (T1-T7): train the ACTUAL
+reference training setup (torch CPU — model ctor, optimizer/param groups,
+scheduler, criterion, clip, regularizer from each reference train function)
+and our preset on the SAME synthetic fixture, same hyperparameters, over
+multiple seeds, and compare final test accuracy.
 
-Requires the /root/reference mount; writes results to stdout.  This is the
-closest runnable analogue of "final test-accuracy parity within run-to-run
-noise" (BASELINE.md) on a machine with no dataset egress.
+Reference provenance per family (hyperparameters lifted from the real code,
+not re-derived): mnist_test.py:263-345, fashion_mnist.py:256-331,
+SVHN.py:300-406, cifar10.py:400-527, cifar_2version.py:470-595,
+emotion_recognition.py:198-369, tiny_imagenet.py:517-621.
 
-Usage: python tools/parity_run.py [--epochs 5] [--train-per-class 40]
+Both sides consume the raw synthetic tensors (no augmentation on either
+side — the comparison targets the training *function*'s optimization
+dynamics, not the data pipeline, which has its own parity tests in
+tests/test_augment_geometry.py / test_data.py).  Batches are seed-shuffled
+with the remainder dropped on both sides; schedules use the same effective
+T (cosine T_max / onecycle total_steps) on both sides.
+
+Requires the /root/reference mount.  Emits one JSON line per family plus a
+final markdown table (for PARITY.md) and a summary JSON.
+
+Usage: python tools/parity_run.py [--families mnist svhn ...] [--seeds 3]
+                                  [--epochs 5] [--train-per-class 40]
 """
 
 import argparse
@@ -19,125 +33,297 @@ import sys
 import time
 import types
 
-import os
-import sys
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+REF = "/root/reference"
 
-def load_reference_mnist():
-    for mod in ("torchvision", "matplotlib", "matplotlib.pyplot"):
-        if mod not in sys.modules:
-            m = types.ModuleType(mod)
-            if mod == "torchvision":
-                m.datasets = types.ModuleType("d")
-                m.transforms = types.ModuleType("t")
-            if mod == "matplotlib":
-                m.pyplot = types.ModuleType("p")
-            sys.modules[mod] = m
+
+# --------------------------------------------------------------------------
+# reference loading (same stubbing approach as tests/test_reference_parity.py)
+
+def load_ref(name):
+    for mod in ("torchvision", "matplotlib", "matplotlib.pyplot", "kagglehub",
+                "seaborn", "sklearn", "sklearn.metrics", "pandas"):
+        if mod in sys.modules:
+            continue
+        try:
+            importlib.import_module(mod)
+            continue
+        except ImportError:
+            pass
+        m = types.ModuleType(mod)
+        if mod == "torchvision":
+            m.datasets = types.ModuleType("d")
+            m.transforms = types.ModuleType("t")
+        if mod == "matplotlib":
+            m.pyplot = types.ModuleType("p")
+        if mod == "sklearn":
+            m.metrics = types.ModuleType("m")
+        if mod == "sklearn.metrics":
+            m.classification_report = lambda *a, **k: ""
+            m.confusion_matrix = lambda *a, **k: None
+        sys.modules[mod] = m
     spec = importlib.util.spec_from_file_location(
-        "ref_mnist", "/root/reference/mnist_test.py")
+        f"ref_{name}", os.path.join(REF, f"{name}.py"))
     mod = importlib.util.module_from_spec(spec)
     with contextlib.redirect_stdout(io.StringIO()):
         spec.loader.exec_module(mod)
     return mod
 
 
-def train_reference(xs, ys, xt, yt, epochs, batch_size=128):
+# --------------------------------------------------------------------------
+# family table: everything the reference train function pins
+
+def _groups_alpha_beta(model, lr):
+    """cifar10.py:423-434 — α/β at (lr, wd 1e-6); rest at (lr·0.5, wd 1e-4)."""
+    pde, rest = [], []
+    for name, p in model.named_parameters():
+        (pde if ("alpha" in name or "beta" in name) else rest).append(p)
+    return [{"params": pde, "lr": lr, "weight_decay": 1e-6},
+            {"params": rest, "lr": lr * 0.5, "weight_decay": 1e-4}]
+
+
+def _groups_hybrid(model, lr):
+    """cifar_2version.py:483-499 — diffusion/mixing/combination at (lr, wd
+    1e-6); rest at (lr·0.8, wd 1e-4)."""
+    pde, rest = [], []
+    for name, p in model.named_parameters():
+        sel = ("alpha" in name or "beta" in name or "channel_mixing" in name
+               or "combination_weights" in name)
+        (pde if sel else rest).append(p)
+    return [{"params": pde, "lr": lr, "weight_decay": 1e-6},
+            {"params": rest, "lr": lr * 0.8, "weight_decay": 1e-4}]
+
+
+FAMILIES = {
+    # name: ref_file, build(ref)->model, preset, optimizer spec, schedule
+    # spec, label smoothing, clip, batch size, regularizer(ref, model)
+    "mnist": dict(
+        ref_file="mnist_test", preset="mnist",
+        build=lambda ref: ref.PDEClassifier(dx=1.0, dy=1.0),
+        lr=1e-3, wd=1e-4, groups=None,
+        sched=("cosine", dict(t_max=3)), smoothing=0.1, clip=1.0, batch=128,
+        reg=None),
+    "fashion_mnist": dict(
+        ref_file="fashion_mnist", preset="fashion_mnist",
+        build=lambda ref: ref.FashionPDEClassifier(),
+        lr=2e-3, wd=5e-4, groups=None,
+        sched=("cosine", dict(t_max=5)), smoothing=0.1, clip=1.0, batch=128,
+        reg=None),
+    "svhn": dict(
+        ref_file="SVHN", preset="svhn",
+        build=lambda ref: ref.PDEClassifier(),
+        lr=1e-2, wd=1e-4, groups=None,
+        sched=("onecycle", dict(max_lr=1e-2, pct_start=0.3)),
+        smoothing=0.0, clip=1.0, batch=256, reg=None),
+    "cifar10_noconv": dict(
+        ref_file="cifar10", preset="cifar10_noconv",
+        build=lambda ref: ref.CIFAR10PDENoConv(dropout_rate=0.3),
+        lr=1e-3, wd=None, groups=_groups_alpha_beta,
+        sched=("cosine", dict(t_max=None)),  # T_max = epochs run
+        smoothing=0.1, clip=1.0, batch=64, reg=None),
+    "cifar10_hybrid": dict(
+        ref_file="cifar_2version", preset="cifar10_hybrid",
+        build=lambda ref: ref.CIFAR10HybridPDEModel(dropout_rate=0.4),
+        lr=1e-3, wd=None, groups=_groups_hybrid,
+        sched=("cosine", dict(t_max=None)),
+        smoothing=0.1, clip=1.0, batch=64,
+        reg=lambda ref, m: ref.hybrid_pde_regularization(
+            m, alpha1=2e-4, alpha2=1e-4, alpha3=1e-6)),
+    "emotion": dict(
+        ref_file="emotion_recognition", preset="emotion",
+        build=lambda ref: ref.DiffusionClassifier(img_size=48, num_classes=7,
+                                                  dropout_rate=0.3),
+        lr=1e-3, wd=1e-4, groups=None,
+        sched=("cosine", dict(t_max=70, eta_min=1e-6)),
+        smoothing=0.0, clip=None, batch=64, reg=None),  # no clip: :198-227
+    "tiny_imagenet": dict(
+        ref_file="tiny_imagenet", preset="tiny_imagenet",
+        build=lambda ref: ref.ImprovedTinyImageNetClassifier(
+            num_classes=200, use_pde=True),
+        lr=1e-3, wd=1e-4, groups=None,
+        sched=("onecycle", dict(max_lr=1e-2, pct_start=0.1)),
+        smoothing=0.1, clip=1.0, batch=32, reg=None),
+}
+
+
+# --------------------------------------------------------------------------
+# reference-side generic trainer
+
+def train_reference(fam, xs, ys, xt, yt, epochs, bs, seeds):
+    import torch
+
+    ref = load_ref(fam["ref_file"])
+    accs = []
+    t0 = time.time()
+    for seed in range(seeds):
+        accs.append(_train_reference_one(fam, ref, xs, ys, xt, yt, epochs,
+                                         bs, seed))
+    return accs, time.time() - t0
+
+
+def _train_reference_one(fam, ref, xs, ys, xt, yt, epochs, bs, seed):
     import torch
     import torch.nn as nn
 
-    ref = load_reference_mnist()
+    torch.manual_seed(seed)
     with contextlib.redirect_stdout(io.StringIO()):
-        model = ref.PDEClassifier(dx=1.0, dy=1.0)
-    opt = torch.optim.AdamW(model.parameters(), lr=1e-3, weight_decay=1e-4)
-    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=3)
-    crit = nn.CrossEntropyLoss(label_smoothing=0.1)
-    torch.manual_seed(0)
+        model = fam["build"](ref)
+    if fam["groups"] is not None:
+        opt = torch.optim.AdamW(fam["groups"](model, fam["lr"]))
+    else:
+        opt = torch.optim.AdamW(model.parameters(), lr=fam["lr"],
+                                weight_decay=fam["wd"])
     n = xs.shape[0]
-    t0 = time.time()
+    spe = n // bs
+    kind, kw = fam["sched"]
+    if kind == "cosine":
+        t_max = kw.get("t_max") or epochs
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+            opt, T_max=t_max, eta_min=kw.get("eta_min", 0.0))
+        per_batch = False
+    else:
+        sched = torch.optim.lr_scheduler.OneCycleLR(
+            opt, max_lr=kw["max_lr"], total_steps=epochs * spe,
+            pct_start=kw["pct_start"], anneal_strategy="cos")
+        per_batch = True
+    crit = nn.CrossEntropyLoss(label_smoothing=fam["smoothing"])
+
     for epoch in range(epochs):
         model.train()
-        perm = np.random.default_rng(epoch).permutation(n)
-        for i in range(0, n - batch_size + 1, batch_size):
-            idx = perm[i : i + batch_size]
+        perm = np.random.default_rng(seed * 1009 + epoch).permutation(n)
+        for i in range(0, spe * bs, bs):
+            idx = perm[i:i + bs]
             imgs = torch.from_numpy(xs[idx])
             labels = torch.from_numpy(ys[idx].astype(np.int64))
             opt.zero_grad()
-            loss = crit(model(imgs), labels)
+            with contextlib.redirect_stdout(io.StringIO()):
+                loss = crit(model(imgs), labels)
+            if fam["reg"] is not None:
+                loss = loss + fam["reg"](ref, model)
             loss.backward()
-            torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+            if fam["clip"] is not None:
+                torch.nn.utils.clip_grad_norm_(model.parameters(),
+                                               fam["clip"])
             opt.step()
-        sched.step()
+            if per_batch:
+                sched.step()
+        if not per_batch:
+            sched.step()
     model.eval()
-    with torch.no_grad():
-        pred = model(torch.from_numpy(xt)).argmax(1).numpy()
-    acc = 100.0 * (pred == yt).mean()
-    return acc, time.time() - t0
+    preds = []
+    with torch.no_grad(), contextlib.redirect_stdout(io.StringIO()):
+        for i in range(0, xt.shape[0], 256):
+            preds.append(model(torch.from_numpy(xt[i:i + 256])
+                               ).argmax(1).numpy())
+    return float(100.0 * (np.concatenate(preds) == yt).mean())
 
 
-def train_ours(xs, ys, xt, yt, epochs, batch_size=128):
+# --------------------------------------------------------------------------
+# our-side generic trainer
+
+def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds):
     import jax
 
     from cnn_pde_tpu.data import ArrayDataset
-    from cnn_pde_tpu.models import MNISTClassifier
-    from cnn_pde_tpu.train import Trainer
+    from cnn_pde_tpu.models import MODEL_REGISTRY
+    from cnn_pde_tpu.train import Trainer, schedules
     from cnn_pde_tpu.utils.config import get_preset
 
-    preset = get_preset("mnist")
-    ds = ArrayDataset(xs, ys, xt, yt)
-    model = MNISTClassifier()
-    trainer = Trainer(
-        model,
-        preset.make_train_config(epochs=epochs, batch_size=batch_size,
-                                 log_every=10**9),
-        preset.make_schedule(ds.steps_for_batch(batch_size)))
-    state = trainer.init_state(jax.random.PRNGKey(0), None)
+    preset = get_preset(fam["preset"])
+    ds = ArrayDataset(xs, ys, xt, yt,
+                      num_classes=int(ys.max()) + 1)
+    model = MODEL_REGISTRY[preset.model](**preset.model_kwargs)
+    spe = ds.steps_for_batch(bs)
+    kind, kw = fam["sched"]
+    if kind == "cosine":
+        schedule = schedules.cosine_annealing(
+            fam["lr"], kw.get("t_max") or epochs, spe,
+            kw.get("eta_min", 0.0))
+    else:
+        schedule = schedules.onecycle(kw["max_lr"], total_steps=epochs * spe,
+                                      pct_start=kw["pct_start"])
+    config = preset.make_train_config(
+        epochs=epochs, batch_size=bs, log_every=10**9,
+        clip_norm=fam["clip"], device_epoch=True)
+    trainer = Trainer(model, config, schedule)  # no augmentation: see module
     t0 = time.time()
-    epoch_times = []
-    for e in range(epochs):
-        te = time.time()
-        trainer.train_epoch(state, ds, e, verbose=False)
-        epoch_times.append(time.time() - te)
-    acc = trainer.evaluate(state, ds)["acc"]
-    # first epoch carries the one-time jit compile; steady state excludes it
-    steady = (sum(epoch_times[1:]) / max(len(epoch_times) - 1, 1)
-              if len(epoch_times) > 1 else epoch_times[0])
-    return acc, time.time() - t0, steady
+    accs = []
+    for seed in range(seeds):  # one Trainer: the jit'd epoch is reused
+        # vary the FULL stream per seed — init AND batch order AND dropout
+        # rng (cfg.seed drives the shuffle/rng streams); otherwise all seeds
+        # share one chaotic trajectory and the spread is meaningless
+        trainer.config.seed = seed
+        trainer._base_rng = None
+        state = trainer.init_state(jax.random.PRNGKey(seed), None)
+        for e in range(epochs):
+            trainer.train_epoch(state, ds, e, verbose=False)
+        accs.append(float(trainer.evaluate(state, ds)["acc"]))
+    return accs, time.time() - t0
 
+
+# --------------------------------------------------------------------------
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--families", nargs="*", default=list(FAMILIES))
+    ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--epochs", type=int, default=5)
     ap.add_argument("--train-per-class", type=int, default=40)
     ap.add_argument("--test-per-class", type=int, default=10)
     args = ap.parse_args()
 
-    if not os.path.isdir("/root/reference"):
+    if not os.path.isdir(REF):
         print("reference mount absent; nothing to compare")
         return
 
     from cnn_pde_tpu.data import make_synthetic
+    from cnn_pde_tpu.utils.config import get_preset
 
-    xs, ys, xt, yt = make_synthetic(
-        "mnist", train_per_class=args.train_per_class,
-        test_per_class=args.test_per_class)
-    print(f"dataset: train {xs.shape}, test {xt.shape}")
+    rows = []
+    for name in args.families:
+        fam = FAMILIES[name]
+        preset = get_preset(fam["preset"])
+        tpc, spc = args.train_per_class, args.test_per_class
+        if preset.dataset == "tiny_imagenet":
+            tpc, spc = min(tpc, 4), min(spc, 2)  # 200 classes
+        xs, ys, xt, yt = make_synthetic(preset.dataset, train_per_class=tpc,
+                                        test_per_class=spc)
+        n = xs.shape[0]
+        bs = min(fam["batch"], max(n // 4, 8))
+        ours_accs, ours_t = train_ours(fam, xs, ys, xt, yt, args.epochs, bs,
+                                       args.seeds)
+        ref_accs, ref_t = train_reference(fam, xs, ys, xt, yt, args.epochs,
+                                          bs, args.seeds)
+        quantum = 100.0 / xt.shape[0]  # one test image
+        delta = float(np.mean(ours_accs) - np.mean(ref_accs))
+        spread = float(max(np.ptp(ref_accs), np.ptp(ours_accs)))
+        row = {
+            "family": name, "epochs": args.epochs, "batch": bs,
+            "train_n": n, "test_n": int(xt.shape[0]), "seeds": args.seeds,
+            "ref_accs": [round(a, 2) for a in ref_accs],
+            "ours_accs": [round(a, 2) for a in ours_accs],
+            "ref_mean": round(float(np.mean(ref_accs)), 2),
+            "ours_mean": round(float(np.mean(ours_accs)), 2),
+            "delta": round(delta, 2),
+            "seed_spread": round(spread, 2),
+            "within_spread": bool(abs(delta) <= max(spread, quantum)),
+            "ref_wall_s": round(ref_t, 1), "ours_wall_s": round(ours_t, 1),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
 
-    ours_acc, ours_t, ours_epoch = train_ours(xs, ys, xt, yt, args.epochs)
-    ref_acc, ref_t = train_reference(xs, ys, xt, yt, args.epochs)
-    ref_epoch = ref_t / args.epochs
-    print(json.dumps({
-        "epochs": args.epochs,
-        "reference_acc": round(float(ref_acc), 2),
-        "ours_acc": round(float(ours_acc), 2),
-        "reference_epoch_s": round(ref_epoch, 3),
-        "ours_epoch_s_steady": round(ours_epoch, 3),
-        "epoch_speedup": round(ref_epoch / max(ours_epoch, 1e-9), 1),
-        "ours_wall_s_incl_compile": round(ours_t, 1),
-    }))
+    print("\n| family | ref acc (mean ± spread) | ours | Δ | within spread |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['family']} | {r['ref_mean']} ± {r['seed_spread']} "
+              f"(n={r['seeds']}) | {r['ours_mean']} | {r['delta']:+.2f} | "
+              f"{'yes' if r['within_spread'] else 'NO'} |")
+    print()
+    print(json.dumps({"all_within_spread":
+                      all(r["within_spread"] for r in rows)}))
 
 
 if __name__ == "__main__":
