@@ -45,9 +45,18 @@ def main():
                          "JAX_PLATFORMS is overridden by preregistered PJRT "
                          "plugins; this flag applies jax.config.update before "
                          "any device use, which wins")
+    ap.add_argument("--amp", action="store_true",
+                    help="bf16 explicit-inverse ADI solves (matinv_bf16) — "
+                         "the TPU analogue of the reference's AMP autocast "
+                         "training (cifar10.py:440); half-precision "
+                         "numerics, see PERF.md")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.amp:
+        from ..ops.tridiag import set_default_impl
+
+        set_default_impl("matinv_bf16")
 
     from ..data import build_augment_fn, load_dataset
     from ..models import MODEL_REGISTRY
