@@ -156,9 +156,13 @@ def tridiag_inverse_operator(a, b, c, dtype=jnp.float32):
     the same X (transposed application), eliminating the adjoint solve.
     """
     eye = jnp.eye(a.shape[-1] if hasattr(a, "shape") else b.shape[-1],
-                  dtype=dtype)
-    return tridiag_solve_pcr(a[..., None, :], b[..., None, :],
-                             c[..., None, :], eye)
+                  dtype=jnp.float32)
+    X = tridiag_solve_pcr(a[..., None, :], b[..., None, :],
+                          c[..., None, :], eye)
+    # computed in f32, STORED at dtype (e.g. bf16 for the AMP-analogue
+    # matinv_bf16 / hoisted-bf16 paths — the apply matmul then runs in
+    # native MXU mode, see _inv_apply_einsum)
+    return X.astype(dtype)
 
 
 def _inv_apply_einsum(X, d, transpose):
@@ -283,10 +287,8 @@ def _solve_impl(a, b, c, d):
 
         return pallas_solve(a, b, c, d)
     if impl in ("matinv", "matinv_bf16"):
-        X = tridiag_inverse_operator(a, b, c, d.dtype)
-        if impl == "matinv_bf16":  # compute the inverse in f32, store bf16
-            X = X.astype(jnp.bfloat16)
-        return _apply_inverse(X, d)
+        dt = jnp.bfloat16 if impl == "matinv_bf16" else d.dtype
+        return _apply_inverse(tridiag_inverse_operator(a, b, c, dt), d)
     if impl == "pcr":
         return tridiag_solve_pcr(a, b, c, d)
     return _thomas_scan(a, b, c, d)
@@ -317,9 +319,8 @@ def tridiag_solve(a, b, c, d):
 def _tridiag_fwd(a, b, c, d):
     impl = _resolve_impl()
     if impl in ("matinv", "matinv_bf16"):
-        X = tridiag_inverse_operator(a, b, c, d.dtype)
-        if impl == "matinv_bf16":  # compute the inverse in f32, store bf16
-            X = X.astype(jnp.bfloat16)
+        dt = jnp.bfloat16 if impl == "matinv_bf16" else d.dtype
+        X = tridiag_inverse_operator(a, b, c, dt)
         x = _apply_inverse(X, d)
         # save X: the backward reuses it as the transposed application — no
         # second (adjoint) solve at all

@@ -45,7 +45,7 @@ def _coeff_at_times(base, time_coeff, times, eps, cmax=None):
 
 
 def _hoisted_operators(params, ts, dt, dt_y, dx, dy, *, smooth, eps,
-                       cmax=None, strang=True):
+                       cmax=None, strang=True, operator_dtype=jnp.float32):
     """Precompute ALL sweep inverse operators of an evolution in two batched
     PCR calls (x and y), hoisted out of the sequential step loop.
 
@@ -57,11 +57,12 @@ def _hoisted_operators(params, ts, dt, dt_y, dx, dy, *, smooth, eps,
     x_times = ts[:, (0, 2)] if strang else ts[:, :1]
     alpha = _coeff_at_times(params["alpha_base"], params["alpha_time_coeff"],
                             x_times, eps, cmax)
-    ops_x = sweep_operator(alpha, dt / 2, dx, smooth=smooth, eps=eps)
+    ops_x = sweep_operator(alpha, dt / 2, dx, smooth=smooth, eps=eps,
+                           dtype=operator_dtype)
     beta = _coeff_at_times(params["beta_base"], params["beta_time_coeff"],
                            ts[:, 1], eps, cmax)
     ops_y = sweep_operator(jnp.swapaxes(beta, -1, -2), dt_y, dy,
-                           smooth=smooth, eps=eps)
+                           smooth=smooth, eps=eps, dtype=operator_dtype)
     sub = lambda i: tuple(l[:, i] for l in ops_x)  # noqa: E731
     if strang:
         return sub(0), ops_y, sub(1)
@@ -113,7 +114,8 @@ class GrayscaleDiffusion(Module):
 
     def __init__(self, size=28, dt=0.001, dx=1.0, dy=1.0, num_steps=10,
                  init_value=2.0, eps=1e-6, remat=False, fused_inference=False,
-                 fused=False, fused_tile_b=16, hoisted=False):
+                 fused=False, fused_tile_b=16, hoisted=False,
+                 operator_dtype=jnp.float32):
         self.size = size
         self.dt = dt
         self.dx = dx
@@ -130,6 +132,7 @@ class GrayscaleDiffusion(Module):
         # more than the PCR levels save — see PERF.md) — kept as an opt-in
         # for study; numerics agree with the default path to ~2e-6.
         self.hoisted = hoisted
+        self.operator_dtype = operator_dtype  # bf16 = AMP-analogue hoisted
         # opt-in Pallas paths (≤3e-7 fwd diff; grads ~1e-8 vs XLA).  They cut
         # launch count to 1, which wins only when per-dispatch latency
         # dominates (isolated calls over a slow link); in chained loops the
@@ -184,7 +187,8 @@ class GrayscaleDiffusion(Module):
         if self.hoisted:
             xs = _hoisted_operators(
                 params, ts, self.dt, self.dt, self.dx, self.dy,
-                smooth=True, eps=self.eps, strang=True)
+                smooth=True, eps=self.eps, strang=True,
+                operator_dtype=self.operator_dtype)
 
             def step(x, ops):
                 ops_x0, ops_y, ops_x1 = ops
@@ -237,7 +241,7 @@ class ChannelCoupledDiffusion(Module):
     (SVHN.py:68-86), and a final learnable sigmoid skip blend (SVHN.py:74)."""
 
     def __init__(self, size=32, channels=3, dt=0.01, dx=1.0, num_steps=10,
-                 eps=1e-6, hoisted=False):
+                 eps=1e-6, hoisted=False, operator_dtype=jnp.float32):
         self.size = size
         self.channels = channels
         self.dt = dt
@@ -245,6 +249,7 @@ class ChannelCoupledDiffusion(Module):
         self.num_steps = num_steps
         self.eps = eps
         self.hoisted = hoisted  # see GrayscaleDiffusion
+        self.operator_dtype = operator_dtype
 
     def init(self, key):
         s, C = self.size, self.channels
@@ -274,7 +279,8 @@ class ChannelCoupledDiffusion(Module):
         if self.hoisted:
             xs = _hoisted_operators(
                 params, ts, self.dt, self.dt, self.dx, self.dx,
-                smooth=True, eps=self.eps, strang=True)
+                smooth=True, eps=self.eps, strang=True,
+                operator_dtype=self.operator_dtype)
 
             def step(u, ops):
                 ops_x0, ops_y, ops_x1 = ops
@@ -317,9 +323,11 @@ class MixedChannelDiffusion(Module):
     def __init__(self, size=32, channels=3, dt=0.001, dx=1.0, dy=1.0,
                  num_steps=10, splitting="strang", eps=1e-6, clamp_max=10.0,
                  remat=False, fused_inference=False, fused=False,
-                 fused_tile_b=32, fused_train_tile_b=8, hoisted=False):
+                 fused_tile_b=32, fused_train_tile_b=8, hoisted=False,
+                 operator_dtype=jnp.float32):
         assert splitting in ("strang", "lie")
         self.hoisted = hoisted  # see GrayscaleDiffusion
+        self.operator_dtype = operator_dtype
         self.size = size
         self.channels = channels
         self.dt = dt
@@ -404,7 +412,8 @@ class MixedChannelDiffusion(Module):
             strang = self.splitting == "strang"
             xs = _hoisted_operators(
                 params, ts, self.dt, dt_y, self.dx, self.dy,
-                smooth=False, eps=eps, cmax=cmax, strang=strang)
+                smooth=False, eps=eps, cmax=cmax, strang=strang,
+                operator_dtype=self.operator_dtype)
 
             def step(u, ops):
                 u = self._mix(params, u)
