@@ -65,6 +65,7 @@ def main():
         save_coefficient_heatmaps,
         save_confusion_matrix,
         save_fashion_panel,
+        save_mnist_panel,
         save_per_class_accuracy_bars,
         save_prediction_panel,
         save_svhn_panel,
@@ -181,6 +182,13 @@ def main():
         beta_f = np.maximum(
             np.asarray(diff_params["beta_base"])
             + np.asarray(diff_params["beta_time_coeff"]) * t_final, 1e-6)
+        if preset.dataset == "mnist" and alpha_f.ndim == 2:
+            save_mnist_panel(
+                os.path.join(args.output_dir, f"{preset.name}_panel.png"),
+                images, vis_labels, preds, diffused, alpha_f, beta_f,
+                np.asarray(diff_params["alpha_time_coeff"]),
+                np.asarray(diff_params["beta_time_coeff"]),
+                dx=getattr(pde, "dx", 1.0), dy=getattr(pde, "dy", 1.0))
         if preset.dataset == "fashion_mnist" and alpha_f.ndim == 2:
             save_fashion_panel(
                 os.path.join(args.output_dir, f"{preset.name}_panel.png"),

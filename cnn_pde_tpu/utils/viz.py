@@ -13,8 +13,8 @@ import numpy as np
 
 __all__ = ["save_prediction_panel", "save_coefficient_heatmaps",
            "save_confusion_matrix", "save_training_curves",
-           "save_per_class_accuracy_bars", "save_fashion_panel",
-           "save_svhn_panel"]
+           "save_per_class_accuracy_bars", "save_mnist_panel",
+           "save_fashion_panel", "save_svhn_panel"]
 
 
 def _plt():
@@ -144,6 +144,40 @@ def _sample_rows(plt, n_cols, images, labels, predictions, diffused, name,
         ax.imshow(np.clip(dimg, 0, 1), cmap="gray")
         ax.axis("off")
         ax.set_title("After PDE", fontsize=8)
+
+
+def save_mnist_panel(path, images, labels, predictions, diffused,
+                     alpha_final, beta_final, alpha_time, beta_time,
+                     dx=1.0, dy=1.0):
+    """The A1 6×6 mega-panel (mnist_test.py:400-444): three 6-wide sample
+    rows (original+true / original+pred / after-PDE) plus the six parameter
+    matrices the reference shows at grid positions 19/20, 25/26, 31/32 —
+    final α (annotated with dx), final β (dy), effective diffusion rates
+    α/dx² and β/dy², and the two time-coefficient fields."""
+    plt = _plt()
+    fig = plt.figure(figsize=(20, 15))
+    gs = fig.add_gridspec(6, 6)
+    _sample_rows(plt, 6, images, labels, predictions, diffused, str,
+                 lambda r, c: fig.add_subplot(gs[r, c]))
+    alpha_final = np.asarray(alpha_final)
+    beta_final = np.asarray(beta_final)
+    fields = [(alpha_final, f"Final Alpha Matrix\n(dx={dx})", (3, 0)),
+              (beta_final, f"Final Beta Matrix\n(dy={dy})", (3, 1)),
+              (alpha_final / dx**2, "Effective Diffusion X", (4, 0)),
+              (beta_final / dy**2, "Effective Diffusion Y", (4, 1)),
+              (np.asarray(alpha_time), "Alpha Time Coeff", (5, 0)),
+              (np.asarray(beta_time), "Beta Time Coeff", (5, 1))]
+    for field, title, (r, c) in fields:
+        ax = fig.add_subplot(gs[r, c])
+        im = ax.imshow(field, cmap="RdBu_r")
+        fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
+        ax.set_title(title, fontsize=9)
+        ax.axis("off")
+    fig.suptitle(f"Enhanced PDE Diffusion: dx={dx}, dy={dy}", fontsize=16)
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return path
 
 
 def save_fashion_panel(path, images, labels, predictions, diffused,

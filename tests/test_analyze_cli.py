@@ -20,7 +20,7 @@ def test_analyze_cli_mnist(tmp_path):
     assert "CFL:" in out.stdout          # P1 per-pixel fields present
     assert "Anisotropy ratio:" in out.stdout
     for suffix in ("confusion.png", "coefficients.png", "predictions.png",
-                   "report.json"):
+                   "panel.png", "report.json"):
         path = tmp_path / f"mnist_{suffix}"
         assert path.exists() and path.stat().st_size > 0, suffix
     report = json.loads((tmp_path / "mnist_report.json").read_text())

@@ -25,7 +25,16 @@ def main():
     ap.add_argument("--presets", nargs="*", default=None)
     ap.add_argument("--device-epoch", action="store_true",
                     help="one jit dispatch per epoch (TrainConfig.device_epoch)")
+    ap.add_argument("--amp", action="store_true",
+                    help="bf16 explicit-inverse ADI solves (matinv_bf16) — "
+                         "validates that AMP training reaches f32-level "
+                         "accuracy on every preset")
     args = ap.parse_args()
+
+    if args.amp:
+        from cnn_pde_tpu.ops.tridiag import set_default_impl
+
+        set_default_impl("matinv_bf16")
 
     from cnn_pde_tpu.data import build_augment_fn, load_dataset
     from cnn_pde_tpu.models import MODEL_REGISTRY
