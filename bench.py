@@ -44,11 +44,16 @@ def main():
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--quick", action="store_true", help="fewer timing iters")
-    ap.add_argument("--amp", action="store_true",
-                    help="bf16 explicit-inverse solves (matinv_bf16) — the "
-                         "AMP-analogue opt-in (the reference trains this "
-                         "model under autocast, cifar10.py:440); NOT the "
-                         "exact-parity surface")
+    amp_group = ap.add_mutually_exclusive_group()
+    amp_group.add_argument(
+        "--amp", dest="amp", action="store_true", default=True,
+        help="bf16 explicit-inverse solves (matinv_bf16) — the AMP analogue "
+             "of the autocast the reference trains this model under "
+             "(cifar10.py:440). DEFAULT: accuracy under AMP is validated "
+             "equal to f32 on every preset (PERF.md §all-presets). The "
+             "exact-parity surface stays f32 (pcr).")
+    amp_group.add_argument("--f32", dest="amp", action="store_false",
+                           help="exact-f32 solves (pcr) — the parity surface")
     args = ap.parse_args()
     if args.quick:
         args.iters = 5

@@ -9,7 +9,12 @@ Two regimes, matching how a server actually runs:
   the regime where the single-launch fused Pallas kernels were built to
   win).
 
-Usage: python tools/bench_serve.py [--batch-sizes 1 64 512] [--n 500]
+`--amp` adds a third variant serving with bf16 explicit-inverse ADI solves
+(`set_default_impl('matinv_bf16')`, the AMP analogue — see PERF.md), the
+deployment configuration for throughput-critical serving where ~4e-3
+relative output error is acceptable.
+
+Usage: python tools/bench_serve.py [--batch-sizes 1 64 512] [--n 500] [--amp]
 """
 
 import argparse
@@ -30,23 +35,26 @@ def main():
     ap.add_argument("--batch-sizes", type=int, nargs="+", default=[1, 64, 512])
     ap.add_argument("--n", type=int, default=500)
     ap.add_argument("--latency-reps", type=int, default=50)
+    ap.add_argument("--amp", action="store_true",
+                    help="also measure the matinv_bf16 serving variant")
     args = ap.parse_args()
 
     from cnn_pde_tpu.models import CIFAR10PDENoConv
+    from cnn_pde_tpu.ops.tridiag import set_default_impl
     from cnn_pde_tpu.serve import make_predict_fn
 
+    variants = ["xla", "fused"] + (["amp"] if args.amp else [])
     results = {}
-    for fused in (False, True):
-        if fused and jax.default_backend() != "tpu":
+    for tag in variants:
+        if tag == "fused" and jax.default_backend() != "tpu":
             # the fused Pallas path silently falls back to XLA off-TPU —
             # don't report the same code path under two labels
             print("skipping fused variant: not on TPU (would re-measure "
                   "the XLA path under a misleading label)", flush=True)
             continue
-        model = CIFAR10PDENoConv(fused_pde=fused) if fused \
-            else CIFAR10PDENoConv()
+        prev_impl = set_default_impl("matinv_bf16") if tag == "amp" else None
+        model = CIFAR10PDENoConv(fused_pde=(tag == "fused"))
         params, state = model.init(jax.random.PRNGKey(0))
-        tag = "fused" if fused else "xla"
         for bs in args.batch_sizes:
             g = np.random.default_rng(0)
             images = jnp.asarray(g.random((bs, 3, 32, 32)).astype(np.float32))
@@ -90,6 +98,8 @@ def main():
                 "latency_ms_p90": round(lats_ms[int(len(lats_ms) * 0.9)], 3),
             }
             print(f"{tag} bs={bs}: {results[f'{tag}_bs{bs}']}", flush=True)
+        if prev_impl is not None:
+            set_default_impl(prev_impl)
     print(json.dumps(results))
 
 
