@@ -47,11 +47,11 @@ def main():
     amp_group = ap.add_mutually_exclusive_group()
     amp_group.add_argument(
         "--amp", dest="amp", action="store_true", default=True,
-        help="bf16 explicit-inverse solves (matinv_bf16) — the AMP analogue "
-             "of the autocast the reference trains this model under "
-             "(cifar10.py:440). DEFAULT: accuracy under AMP is validated "
-             "equal to f32 on every preset (PERF.md §all-presets). The "
-             "exact-parity surface stays f32 (pcr).")
+        help="bf16 hoisted-inverse solves (pde.enable_amp) — the AMP "
+             "analogue of the autocast the reference trains this model "
+             "under (cifar10.py:440). DEFAULT: accuracy under AMP is "
+             "validated equal to f32 on every preset (PERF.md "
+             "§all-presets). The exact-parity surface stays f32 (pcr).")
     amp_group.add_argument("--f32", dest="amp", action="store_false",
                            help="exact-f32 solves (pcr) — the parity surface")
     args = ap.parse_args()
@@ -67,13 +67,12 @@ def main():
     from cnn_pde_tpu.train import Trainer
     from cnn_pde_tpu.utils.config import get_preset
 
-    if args.amp:
-        from cnn_pde_tpu.ops.tridiag import set_default_impl
-
-        set_default_impl("matinv_bf16")
-
     preset = get_preset("cifar10_noconv")
     model = MODEL_REGISTRY[preset.model]()
+    if args.amp:
+        from cnn_pde_tpu.pde import enable_amp
+
+        enable_amp(model)
     schedule = preset.make_schedule(steps_per_epoch=50_000 // args.batch_size)
     config = preset.make_train_config(batch_size=args.batch_size)
     trainer = Trainer(model, config, schedule,
@@ -145,7 +144,11 @@ def main():
         # (50k-image CIFAR-10 epoch; reference CPU epoch ≈ 69.5 min)
         "epoch_s": round(50_000 / img_per_sec, 2),
         # utilization: the step is HBM/latency-bound (PERF.md §roofline),
-        # so hbm_util is the speed-of-light axis; MFU is for completeness
+        # so hbm_util is the speed-of-light axis; MFU is for completeness.
+        # XLA's "bytes accessed" counts every op's operands+outputs, i.e. an
+        # UPPER bound on true HBM traffic (fused/VMEM-resident intermediates
+        # are counted too), so hbm_util > 1.0 means the step beats the naive
+        # byte count via on-chip reuse — not a measurement error.
         "mfu": round(mfu, 5) if mfu is not None else None,
         "hbm_gbps": round(hbm_gbps, 1) if hbm_gbps is not None else None,
         "hbm_util": (round(hbm_gbps / V5E_PEAK_HBM_GBPS, 3)

@@ -29,6 +29,7 @@ from .smoothing import smooth3
 from .tridiag import (
     tridiag_inverse_operator,
     tridiag_solve,
+    tridiag_solve_precomputed,
     tridiag_solve_with_operator,
 )
 
@@ -119,16 +120,28 @@ def sweep_operator(coeff_field, dt, dx, *, smooth: bool, eps: float,
     return a, b, c, X
 
 
-def apply_sweep(ops, u):
+def apply_sweep(ops, u, *, refine=False):
     """u ← T⁻¹ u along the trailing axis (one MXU matmul per coefficient row;
-    the operator's batch dims broadcast over u's leading batch dims)."""
+    the operator's batch dims broadcast over u's leading batch dims).
+
+    refine=False (default): single-matmul apply with the analytic adjoint
+    reusing X (tridiag_solve_precomputed — the fast path).
+    refine=True: the implicit-function form x₀ + X(d − T·x₀) — two matmuls,
+    one Richardson refinement, gradients by autodiff of the residual term
+    (tridiag_solve_with_operator; kept for study/A-B)."""
     a, b, c, X = ops
-    return tridiag_solve_with_operator(a, b, c, u, X)
+    if refine:
+        return tridiag_solve_with_operator(a, b, c, u, X)
+    return tridiag_solve_precomputed(a, b, c, u, X)
 
 
-def apply_sweep_y(ops, u):
+def apply_sweep_y(ops, u, *, refine=False):
     """y-direction apply: ops were built from the TRANSPOSED coefficient field
     (solve axis = H); transpose u, apply, transpose back."""
     a, b, c, X = ops
     u_t = jnp.swapaxes(u, -1, -2)
-    return jnp.swapaxes(tridiag_solve_with_operator(a, b, c, u_t, X), -1, -2)
+    if refine:
+        out = tridiag_solve_with_operator(a, b, c, u_t, X)
+    else:
+        out = tridiag_solve_precomputed(a, b, c, u_t, X)
+    return jnp.swapaxes(out, -1, -2)

@@ -40,6 +40,7 @@ __all__ = [
     "tridiag_solve",
     "tridiag_solve_scan",
     "tridiag_solve_pcr",
+    "tridiag_solve_precomputed",
     "tridiag_solve_unrolled",
     "thomas_solve_reference",
     "set_default_impl",
@@ -329,13 +330,30 @@ def _tridiag_fwd(a, b, c, d):
     return x, (a, b, c, d, x, None)
 
 
-def _tridiag_bwd(res, g):
-    a, b, c, d, x, X = res
-    if X is not None:
-        lam = _apply_inverse_T(X, g)  # λ = T^{-T} g, one matmul
-    else:
-        a_t, b_t, c_t = _transpose_system(a, b, c)
-        lam = _solve_impl(a_t, b_t, c_t, g)  # λ = T^{-T} g
+def _reduce_like(grad, ref):
+    """Broadcast-aware reduction: fold a full-shaped gradient back onto a
+    coefficient array that was broadcast against the RHS."""
+    if grad.shape == ref.shape:
+        return grad
+    # reduce broadcast axes: match trailing dims, then sum extra leading
+    axes = tuple(
+        grad.ndim - 1 - i
+        for i, (gs, rs) in enumerate(
+            zip(grad.shape[::-1], ref.shape[::-1]))
+        if rs == 1 and gs != 1
+    )
+    if axes:
+        grad = jnp.sum(grad, axis=axes, keepdims=True)
+    extra = grad.ndim - ref.ndim
+    if extra:
+        grad = jnp.sum(grad, axis=tuple(range(extra)))
+    return jnp.reshape(grad, ref.shape)
+
+
+def _adjoint_band_grads(a, b, c, d, x, lam):
+    """Analytic tridiagonal-solve adjoint given λ = T^{-T} g: band cotangents
+    grad_b = −λ∘x, grad_a[i] = −λ[i]x[i−1], grad_c[i] = −λ[i]x[i+1], and
+    grad_d = λ, each reduced onto its input's (possibly broadcast) shape."""
     grad_d = lam
     grad_b = -lam * x
     # grad_a[i] = -λ[i]·x[i-1] (a[0] is outside the matrix → zero grad)
@@ -346,24 +364,6 @@ def _tridiag_bwd(res, g):
     grad_c = jnp.concatenate(
         [-lam[..., :-1] * x[..., 1:], jnp.zeros_like(x[..., :1])], axis=-1
     )
-    # Broadcast-aware reduction: inputs may have been broadcast against d.
-    def _reduce_like(grad, ref):
-        if grad.shape == ref.shape:
-            return grad
-        # reduce broadcast axes: match trailing dims, then sum extra leading
-        axes = tuple(
-            grad.ndim - 1 - i
-            for i, (gs, rs) in enumerate(
-                zip(grad.shape[::-1], ref.shape[::-1]))
-            if rs == 1 and gs != 1
-        )
-        if axes:
-            grad = jnp.sum(grad, axis=axes, keepdims=True)
-        extra = grad.ndim - ref.ndim
-        if extra:
-            grad = jnp.sum(grad, axis=tuple(range(extra)))
-        return jnp.reshape(grad, ref.shape)
-
     return (
         _reduce_like(grad_a, a),
         _reduce_like(grad_b, b),
@@ -372,7 +372,61 @@ def _tridiag_bwd(res, g):
     )
 
 
+def _tridiag_bwd(res, g):
+    a, b, c, d, x, X = res
+    if X is not None:
+        lam = _apply_inverse_T(X, g)  # λ = T^{-T} g, one matmul
+    else:
+        a_t, b_t, c_t = _transpose_system(a, b, c)
+        lam = _solve_impl(a_t, b_t, c_t, g)  # λ = T^{-T} g
+    return _adjoint_band_grads(a, b, c, d, x, lam)
+
+
 tridiag_solve.defvjp(_tridiag_fwd, _tridiag_bwd)
+
+
+@jax.custom_vjp
+def tridiag_solve_precomputed(a, b, c, d, X):
+    """Solve T x = d with a PRECOMPUTED inverse operator X (from
+    tridiag_inverse_operator) — ONE MXU matmul forward, analytic adjoint
+    reusing the same X (one transposed matmul + elementwise band grads)
+    backward.
+
+    This is the missing combination between the 'matinv' impls (which pay a
+    fresh PCR inverse computation inside every sweep — the dominant
+    batch-free traffic at small batch) and tridiag_solve_with_operator
+    (which hoists the inverse but pays TWO matmuls per sweep for its
+    refinement/implicit-function form).  Here the inverse is hoisted AND the
+    apply is a single matmul.
+
+    (a, b, c) must be the coefficients X was built from (including any +eps
+    shift); they carry the gradient path.  X itself gets a zero cotangent
+    (implicit-function theorem: the derivative of the exact solve depends on
+    the bands, not on the inverse's representation), so nothing
+    operator-sized flows into the backward graph.
+
+    Primal numerics are those of the matinv/matinv_bf16 impls (x = X·d with
+    no refinement): ~1e-7 relative for f32 X, ~4e-3 for bf16 X (the
+    AMP-analogue, accuracy-validated in PERF.md §all-presets).
+    """
+    return _apply_inverse(X, d)
+
+
+def _precomp_fwd(a, b, c, d, X):
+    x = _apply_inverse(X, d)
+    return x, (a, b, c, d, x, X)
+
+
+def _precomp_bwd(res, g):
+    a, b, c, d, x, X = res
+    lam = _apply_inverse_T(X, g)  # λ = T^{-T} g, one matmul
+    ga, gb, gc, gd = _adjoint_band_grads(a, b, c, d, x, lam)
+    # X's zero cotangent lands in the stop_gradient it was built under
+    # (sweep_operator) and is dropped there.
+    return ga, gb, gc, gd, jnp.zeros_like(X)
+
+
+tridiag_solve_precomputed.defvjp(_precomp_fwd, _precomp_bwd)
 
 
 def tridiag_solve_unrolled(a, b, c, d):

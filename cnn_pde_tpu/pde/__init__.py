@@ -1,5 +1,6 @@
 """L2 PDE evolution layers (the reference's DiffusionLayer family, rebuilt)."""
 
+from .amp import enable_amp, iter_adi_layers
 from .diffusion import (
     ChannelCoupledDiffusion,
     GrayscaleDiffusion,
@@ -10,6 +11,8 @@ from .ruthotto import HamiltonianBlock, ParabolicBlock, SymmetricLayer
 from .spectral import FourierFTCSLayer
 
 __all__ = [
+    "enable_amp",
+    "iter_adi_layers",
     "ChannelCoupledDiffusion",
     "GrayscaleDiffusion",
     "MixedChannelDiffusion",

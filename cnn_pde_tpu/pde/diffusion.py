@@ -115,7 +115,7 @@ class GrayscaleDiffusion(Module):
     def __init__(self, size=28, dt=0.001, dx=1.0, dy=1.0, num_steps=10,
                  init_value=2.0, eps=1e-6, remat=False, fused_inference=False,
                  fused=False, fused_tile_b=16, hoisted=False,
-                 operator_dtype=jnp.float32):
+                 operator_dtype=jnp.float32, hoisted_refine=False):
         self.size = size
         self.dt = dt
         self.dx = dx
@@ -125,13 +125,14 @@ class GrayscaleDiffusion(Module):
         self.eps = eps
         self.remat = remat  # rematerialize per-step (memory ∝ 1 step for bwd)
         # hoisted=True precomputes every sweep's inverse operator outside the
-        # step loop (batch-free rows) and applies them as MXU matmuls via the
-        # implicit-function form.  Measured SLOWER than the per-sweep
-        # batch-free PCR on v5e (2.5 → 4.1 ms flagship step: the f32-HIGHEST
-        # 32×32 matmuls run at 1/16 MXU utilisation × 6 passes, which costs
-        # more than the PCR levels save — see PERF.md) — kept as an opt-in
-        # for study; numerics agree with the default path to ~2e-6.
+        # step loop (batch-free rows) and applies them as MXU matmuls.  The
+        # default apply is the single-matmul custom-VJP form
+        # (tridiag_solve_precomputed); hoisted_refine=True keeps the older
+        # two-matmul implicit-function/Richardson form (measured slower —
+        # PERF.md §hoisted) for study.  Numerics agree with the per-sweep
+        # default path at the operator dtype's scale (~1e-6 f32 / ~4e-3 bf16).
         self.hoisted = hoisted
+        self.hoisted_refine = hoisted_refine
         self.operator_dtype = operator_dtype  # bf16 = AMP-analogue hoisted
         # opt-in Pallas paths (≤3e-7 fwd diff; grads ~1e-8 vs XLA).  They cut
         # launch count to 1, which wins only when per-dispatch latency
@@ -190,11 +191,13 @@ class GrayscaleDiffusion(Module):
                 smooth=True, eps=self.eps, strang=True,
                 operator_dtype=self.operator_dtype)
 
+            refine = self.hoisted_refine
+
             def step(x, ops):
                 ops_x0, ops_y, ops_x1 = ops
-                x = apply_sweep(ops_x0, x)
-                x = apply_sweep_y(ops_y, x)
-                x = apply_sweep(ops_x1, x)
+                x = apply_sweep(ops_x0, x, refine=refine)
+                x = apply_sweep_y(ops_y, x, refine=refine)
+                x = apply_sweep(ops_x1, x, refine=refine)
                 return x, None
 
             if self.remat:
@@ -241,7 +244,8 @@ class ChannelCoupledDiffusion(Module):
     (SVHN.py:68-86), and a final learnable sigmoid skip blend (SVHN.py:74)."""
 
     def __init__(self, size=32, channels=3, dt=0.01, dx=1.0, num_steps=10,
-                 eps=1e-6, hoisted=False, operator_dtype=jnp.float32):
+                 eps=1e-6, hoisted=False, operator_dtype=jnp.float32,
+                 hoisted_refine=False):
         self.size = size
         self.channels = channels
         self.dt = dt
@@ -249,6 +253,7 @@ class ChannelCoupledDiffusion(Module):
         self.num_steps = num_steps
         self.eps = eps
         self.hoisted = hoisted  # see GrayscaleDiffusion
+        self.hoisted_refine = hoisted_refine
         self.operator_dtype = operator_dtype
 
     def init(self, key):
@@ -282,11 +287,13 @@ class ChannelCoupledDiffusion(Module):
                 smooth=True, eps=self.eps, strang=True,
                 operator_dtype=self.operator_dtype)
 
+            refine = self.hoisted_refine
+
             def step(u, ops):
                 ops_x0, ops_y, ops_x1 = ops
-                u = apply_sweep(ops_x0, u)
-                u = apply_sweep_y(ops_y, u)
-                u = apply_sweep(ops_x1, u)
+                u = apply_sweep(ops_x0, u, refine=refine)
+                u = apply_sweep_y(ops_y, u, refine=refine)
+                u = apply_sweep(ops_x1, u, refine=refine)
                 return couple(u), None
 
             u, _ = lax.scan(step, u, xs)
@@ -324,9 +331,10 @@ class MixedChannelDiffusion(Module):
                  num_steps=10, splitting="strang", eps=1e-6, clamp_max=10.0,
                  remat=False, fused_inference=False, fused=False,
                  fused_tile_b=32, fused_train_tile_b=8, hoisted=False,
-                 operator_dtype=jnp.float32):
+                 operator_dtype=jnp.float32, hoisted_refine=False):
         assert splitting in ("strang", "lie")
         self.hoisted = hoisted  # see GrayscaleDiffusion
+        self.hoisted_refine = hoisted_refine
         self.operator_dtype = operator_dtype
         self.size = size
         self.channels = channels
@@ -415,12 +423,14 @@ class MixedChannelDiffusion(Module):
                 smooth=False, eps=eps, cmax=cmax, strang=strang,
                 operator_dtype=self.operator_dtype)
 
+            refine = self.hoisted_refine
+
             def step(u, ops):
                 u = self._mix(params, u)
-                u = apply_sweep(ops[0], u)
-                u = apply_sweep_y(ops[1], u)
+                u = apply_sweep(ops[0], u, refine=refine)
+                u = apply_sweep_y(ops[1], u, refine=refine)
                 if strang:
-                    u = apply_sweep(ops[2], u)
+                    u = apply_sweep(ops[2], u, refine=refine)
                 return u, None
 
             if self.remat:

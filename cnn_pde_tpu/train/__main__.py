@@ -46,17 +46,13 @@ def main():
                          "plugins; this flag applies jax.config.update before "
                          "any device use, which wins")
     ap.add_argument("--amp", action="store_true",
-                    help="bf16 explicit-inverse ADI solves (matinv_bf16) — "
+                    help="bf16 hoisted-inverse ADI solves (pde.enable_amp) — "
                          "the TPU analogue of the reference's AMP autocast "
                          "training (cifar10.py:440); half-precision "
                          "numerics, see PERF.md")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.amp:
-        from ..ops.tridiag import set_default_impl
-
-        set_default_impl("matinv_bf16")
 
     from ..data import build_augment_fn, load_dataset
     from ..models import MODEL_REGISTRY
@@ -81,6 +77,11 @@ def main():
         steps_per_epoch = min(steps_per_epoch, args.steps)
 
     model = MODEL_REGISTRY[preset.model](**preset.model_kwargs)
+    if args.amp:
+        from ..pde import enable_amp
+
+        n_amp = enable_amp(model)
+        print(f"AMP: {n_amp} hoisted-bf16 ADI layers + matinv_bf16 solves")
     schedule = preset.make_schedule(steps_per_epoch)
     config = preset.make_train_config(epochs=epochs, batch_size=batch_size,
                                       seed=args.seed,

@@ -215,6 +215,9 @@ def test_hoisted_evolution_matches_default(key):
     rng = np.random.default_rng(0)
     cases = [
         (GrayscaleDiffusion, dict(size=12, num_steps=4), (3, 1, 12, 12)),
+        # the older two-matmul implicit-function apply stays covered too
+        (GrayscaleDiffusion,
+         dict(size=12, num_steps=4, hoisted_refine=True), (3, 1, 12, 12)),
         (ChannelCoupledDiffusion, dict(size=10, num_steps=3), (3, 3, 10, 10)),
         (MixedChannelDiffusion,
          dict(size=10, num_steps=3, splitting="strang"), (3, 3, 10, 10)),
@@ -244,3 +247,28 @@ def test_hoisted_evolution_matches_default(key):
             np.testing.assert_allclose(np.asarray(a) / scale,
                                        np.asarray(b) / scale,
                                        rtol=0, atol=2e-5)
+
+
+def test_enable_amp_wiring():
+    """pde.enable_amp must find every ADI diffusion layer in a model tree,
+    flip it to the hoisted-bf16 path, and set the global solver default to
+    matinv_bf16 (restored afterwards)."""
+    from cnn_pde_tpu.ops import tridiag
+    from cnn_pde_tpu.models import MODEL_REGISTRY
+    from cnn_pde_tpu.pde import enable_amp, iter_adi_layers
+
+    prev = tridiag.set_default_impl("auto")
+    try:
+        flagship = MODEL_REGISTRY["cifar10_noconv"]()
+        n = enable_amp(flagship)
+        assert n == len(list(iter_adi_layers(flagship))) and n >= 3
+        for lay in iter_adi_layers(flagship):
+            assert lay.hoisted and lay.operator_dtype == jnp.bfloat16
+            assert not lay.hoisted_refine
+        assert tridiag._DEFAULT_IMPL == "matinv_bf16"
+
+        # a model with no ADI layers: impl still switches, zero layers found
+        emotion = MODEL_REGISTRY["emotion"]()
+        assert enable_amp(emotion) == 0
+    finally:
+        tridiag.set_default_impl(prev)

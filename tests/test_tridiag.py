@@ -243,6 +243,37 @@ def test_solve_with_operator_matches_solve(rng):
                                    np.asarray(v) / scale, rtol=0, atol=5e-6)
 
 
+def test_solve_precomputed_matches_solve(rng):
+    """The single-matmul hoisted apply (tridiag_solve_precomputed) must match
+    tridiag_solve forward and in its (a,b,c,d) gradients, give d-gradients
+    via one transposed matmul, and send a ZERO cotangent into X."""
+    from cnn_pde_tpu.ops.tridiag import (tridiag_inverse_operator,
+                                         tridiag_solve_precomputed)
+
+    r = jnp.asarray(rng.random((5, 16)).astype(np.float32)) * 0.5
+    a, c, b = -r, -r, 1 + 2 * r
+    d = jnp.asarray(rng.standard_normal((4, 5, 16)).astype(np.float32))
+
+    x_ref = tridiag_solve(a, b, c, d)
+    g_ref = jax.grad(lambda *args: jnp.sum(tridiag_solve(*args) ** 2),
+                     argnums=(0, 1, 2, 3))(a, b, c, d)
+
+    X = tridiag_inverse_operator(a, b, c)
+    x_pc = tridiag_solve_precomputed(a, b, c, d, X)
+    g_pc = jax.grad(
+        lambda a, b, c, d, X: jnp.sum(
+            tridiag_solve_precomputed(a, b, c, d, X) ** 2),
+        argnums=(0, 1, 2, 3, 4))(a, b, c, d, X)
+
+    np.testing.assert_allclose(np.asarray(x_pc), np.asarray(x_ref),
+                               rtol=0, atol=5e-6)
+    for u, v in zip(g_pc[:4], g_ref):
+        scale = max(1.0, float(jnp.max(jnp.abs(v))))
+        np.testing.assert_allclose(np.asarray(u) / scale,
+                                   np.asarray(v) / scale, rtol=0, atol=5e-6)
+    assert float(jnp.max(jnp.abs(g_pc[4]))) == 0.0  # IFT: X carries no grad
+
+
 def test_matinv_bf16_impl(rng):
     """The AMP-analogue opt-in impl ('matinv_bf16', PERF.md r2): bf16
     inverse-operator matmuls must stay within half-precision tolerance of

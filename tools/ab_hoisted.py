@@ -36,8 +36,11 @@ def bench_variant(variant, n, batch_size, samples=3):
         if variant.startswith("hoisted"):
             for pde in model.extractor.pdes:
                 pde.hoisted = True
-                if variant == "hoisted_bf16":
+                if "bf16" in variant:
                     pde.operator_dtype = jnp.bfloat16
+                # *_refine = the older two-matmul implicit-function apply;
+                # default = single-matmul custom-VJP apply
+                pde.hoisted_refine = variant.endswith("_refine")
         trainer = Trainer(model,
                           preset.make_train_config(batch_size=batch_size),
                           preset.make_schedule(100),
@@ -79,6 +82,7 @@ def main():
     ap.add_argument("--n", type=int, default=300)
     ap.add_argument("--variants", nargs="+",
                     default=["default", "hoisted_f32", "hoisted_bf16",
+                             "hoisted_f32_refine", "hoisted_bf16_refine",
                              "matinv_bf16"])
     args = ap.parse_args()
 

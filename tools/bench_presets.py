@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+AMP = False  # set by --amp: hoisted-bf16 layers + matinv_bf16 solves
+
 
 def bench_preset(name, n_steps, samples=3):
     from cnn_pde_tpu.data import SYNTHETIC_SPECS, build_augment_fn
@@ -31,6 +33,10 @@ def bench_preset(name, n_steps, samples=3):
     channels, size, classes = SYNTHETIC_SPECS[preset.dataset]
     bs = preset.batch_size
     model = MODEL_REGISTRY[preset.model](**preset.model_kwargs)
+    if AMP:
+        from cnn_pde_tpu.pde import enable_amp
+
+        enable_amp(model)
     trainer = Trainer(model, preset.make_train_config(batch_size=bs),
                       preset.make_schedule(100),
                       augment_fn=build_augment_fn(preset.augment))
@@ -69,7 +75,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--presets", nargs="*", default=None)
+    ap.add_argument("--amp", action="store_true",
+                    help="bf16 hoisted-inverse ADI solves (pde.enable_amp)")
     args = ap.parse_args()
+    if args.amp:
+        global AMP
+        AMP = True
 
     from cnn_pde_tpu.utils.config import PRESETS
 

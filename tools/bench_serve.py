@@ -9,8 +9,8 @@ Two regimes, matching how a server actually runs:
   the regime where the single-launch fused Pallas kernels were built to
   win).
 
-`--amp` adds a third variant serving with bf16 explicit-inverse ADI solves
-(`set_default_impl('matinv_bf16')`, the AMP analogue — see PERF.md), the
+`--amp` adds a third variant serving with bf16 hoisted-inverse ADI solves
+(`pde.enable_amp`, the AMP analogue — see PERF.md), the
 deployment configuration for throughput-critical serving where ~4e-3
 relative output error is acceptable.
 
@@ -54,6 +54,10 @@ def main():
             continue
         prev_impl = set_default_impl("matinv_bf16") if tag == "amp" else None
         model = CIFAR10PDENoConv(fused_pde=(tag == "fused"))
+        if tag == "amp":  # hoisted-bf16 layers — the production AMP config
+            from cnn_pde_tpu.pde import enable_amp
+
+            enable_amp(model)
         params, state = model.init(jax.random.PRNGKey(0))
         for bs in args.batch_sizes:
             g = np.random.default_rng(0)

@@ -29,7 +29,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--n", type=int, default=300)
+    ap.add_argument("--impl", default=None,
+                    help="solver impl to profile under (e.g. matinv_bf16)")
+    ap.add_argument("--amp", action="store_true",
+                    help="profile the production AMP config (pde.enable_amp: "
+                         "hoisted-bf16 layers + matinv_bf16 solves)")
     args = ap.parse_args()
+
+    if args.impl:
+        from cnn_pde_tpu.ops.tridiag import set_default_impl
+        set_default_impl(args.impl)
 
     from cnn_pde_tpu.data import build_augment_fn
     from cnn_pde_tpu.models import CIFAR10PDENoConv
@@ -39,6 +48,9 @@ def main():
 
     preset = get_preset("cifar10_noconv")
     model = CIFAR10PDENoConv()
+    if args.amp:
+        from cnn_pde_tpu.pde import enable_amp
+        enable_amp(model)
     trainer = Trainer(model, preset.make_train_config(batch_size=args.batch_size),
                       preset.make_schedule(100),
                       augment_fn=build_augment_fn(preset.augment))

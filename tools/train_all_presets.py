@@ -26,15 +26,10 @@ def main():
     ap.add_argument("--device-epoch", action="store_true",
                     help="one jit dispatch per epoch (TrainConfig.device_epoch)")
     ap.add_argument("--amp", action="store_true",
-                    help="bf16 explicit-inverse ADI solves (matinv_bf16) — "
+                    help="bf16 hoisted-inverse ADI solves (pde.enable_amp) — "
                          "validates that AMP training reaches f32-level "
                          "accuracy on every preset")
     args = ap.parse_args()
-
-    if args.amp:
-        from cnn_pde_tpu.ops.tridiag import set_default_impl
-
-        set_default_impl("matinv_bf16")
 
     from cnn_pde_tpu.data import build_augment_fn, load_dataset
     from cnn_pde_tpu.models import MODEL_REGISTRY
@@ -52,6 +47,10 @@ def main():
                           synthetic_train_per_class=tpc,
                           synthetic_test_per_class=args.test_per_class)
         model = MODEL_REGISTRY[preset.model](**preset.model_kwargs)
+        if args.amp:
+            from cnn_pde_tpu.pde import enable_amp
+
+            enable_amp(model)
         bs = min(preset.batch_size, max(ds.train_images.shape[0] // 4, 8))
         trainer = Trainer(
             model,
