@@ -42,6 +42,13 @@ class MultiScaleExtractor(Module):
         # exclusive with the lockstep-stacked fused (multiscale) mode
         assert not (fused and fused_pde)
         self.fused = fused
+        # lockstep_hoisted=True evolves the three branches in lockstep on
+        # stacked state with PRECOMPUTED sweep operators (identity-padded):
+        # 24 sequential stacked-matmul sweeps instead of 51
+        # (pde/fused_multiscale.py::hoisted_lockstep_evolve).  Operator
+        # dtype/eps/clamp follow the branch layers' settings (enable_amp
+        # sets bf16).
+        self.lockstep_hoisted = False
         self.pdes = [
             MixedChannelDiffusion(input_size, channels, splitting="strang",
                                   fused=fused_pde, **scale)
@@ -61,7 +68,19 @@ class MultiScaleExtractor(Module):
 
     def apply(self, params, state, x, ctx):
         new_state = dict(state)
-        if self.fused:
+        if self.lockstep_hoisted:
+            from ..pde.fused_multiscale import hoisted_lockstep_evolve
+
+            stacked = hoisted_lockstep_evolve(
+                x, [params[f"pde{i+1}"] for i in range(3)],
+                dts=[s["dt"] for s in self._SCALES],
+                steps_list=[s["num_steps"] for s in self._SCALES],
+                dxs=[s["dx"] for s in self._SCALES],
+                dys=[s["dy"] for s in self._SCALES],
+                eps=self.pdes[0].eps, clamp_max=self.pdes[0].clamp_max,
+                operator_dtype=self.pdes[0].operator_dtype)
+            branch_feats = [stacked[:, i] for i in range(3)]
+        elif self.fused:
             from ..pde.fused_multiscale import fused_multiscale_evolve
 
             stacked = fused_multiscale_evolve(

@@ -23,7 +23,7 @@ from jax import lax
 
 from ..ops.tridiag import tridiag_solve
 
-__all__ = ["fused_multiscale_evolve"]
+__all__ = ["fused_multiscale_evolve", "hoisted_lockstep_evolve"]
 
 
 def _branch_time_tables(dts, num_steps_list, max_steps):
@@ -113,4 +113,106 @@ def fused_multiscale_evolve(u, branch_params, *, dts, steps_list, dxs, dys,
 
     U, _ = lax.scan(step, U, (jnp.swapaxes(ts, 0, 1),
                               jnp.swapaxes(active, 0, 1)))
+    return U
+
+
+# ---- hoisted-lockstep formulation -------------------------------------------
+#
+# The lockstep above still pays a per-sweep PCR solve over the stacked RHS.
+# Under the hoisted-operator regime (PERF.md §solver implementations: every
+# sweep = ONE MXU matmul with a precomputed inverse, tridiag_solve_precomputed)
+# this variant moves the identity padding into the operator stack itself:
+# inactive steps get exact identity systems (r = 0 → a = c = 0, b = 1,
+# X = I — no eps, and bf16(I) is exact), so the step loop is 8 uniform
+# step-triples of stacked matmuls (24 sequential sweeps) instead of 17
+# triples (51 sweeps), with no masking work in the loop and zero gradient
+# leakage into padded steps (their bands are param-free constants).
+#
+# MEASURED SLOWER on v5e (PERF.md §lockstep: lockstep_bf16 3.20 ms vs
+# sequential hoisted_bf16 1.75 ms flagship step): the stacked sweeps are
+# work-bound, not launch-latency-bound, so padding to max(steps) executes
+# ~4× the matmul+mixing work for only ~2× fewer dispatches.  Kept as a
+# parity-tested study option (tests/test_fused_multiscale.py).
+
+
+def _lockstep_neumann_b(r):
+    """1+2r with Neumann BC rows, assembled by concat (see ops/adi.py)."""
+    return jnp.concatenate([1.0 + r[..., :1], 1.0 + 2.0 * r[..., 1:-1],
+                            1.0 + r[..., -1:]], axis=-1)
+
+
+def hoisted_lockstep_evolve(u, branch_params, *, dts, steps_list, dxs, dys,
+                            eps=1e-6, clamp_max=10.0,
+                            operator_dtype=jnp.float32):
+    """All K branches' Strang evolutions in lockstep with PRECOMPUTED sweep
+    operators: state (B, K, C, H, W), 3·max(steps) sequential stacked-matmul
+    sweeps.  Returns (B, K, C, H, W).
+
+    Activations match the sequential hoisted path on active steps (identical
+    bands; X rounding may differ at operator-dtype ties) and the default
+    per-sweep path at ~1e-6 (f32 operators).
+    """
+    from ..ops.adi import apply_sweep, apply_sweep_y
+    from ..ops.tridiag import tridiag_inverse_operator
+
+    K = len(branch_params)
+    B, C, H, W = u.shape
+    S = max(steps_list)
+    ts, active = _branch_time_tables(dts, steps_list, S)   # (K,S,3), (K,S)
+    ts_s = jnp.swapaxes(ts, 0, 1)                          # (S, K, 3)
+    act = jnp.swapaxes(active, 0, 1)                       # (S, K)
+
+    stack = lambda name: jnp.stack([p[name] for p in branch_params])
+    ab, at = stack("alpha_base"), stack("alpha_time_coeff")  # (K, C, H, W)
+    bb, bt = stack("beta_base"), stack("beta_time_coeff")
+    mix = stack("channel_mixing")                            # (K, C, C)
+    eye = jnp.eye(C, dtype=mix.dtype)
+    mix_eff = (act[:, :, None, None] * mix
+               + (1.0 - act[:, :, None, None]) * eye)        # (S, K, C, C)
+
+    dtfac_x = jnp.asarray([dt / 2 / dx**2 for dt, dx in zip(dts, dxs)],
+                          jnp.float32)[None, :, None, None, None, None]
+    dtfac_y = jnp.asarray([dt / dy**2 for dt, dy in zip(dts, dys)],
+                          jnp.float32)[None, :, None, None, None]
+    act_x = act[:, :, None, None, None, None]                # (S,K,1,1,1,1)
+    act_y = act[:, :, None, None, None]
+
+    def coeff(base, tc, t):
+        # base (K,C,H,W), t (S,K,n) -> (S,K,n,C,H,W)
+        c = base[None, :, None] + tc[None, :, None] * t[..., None, None, None]
+        return jnp.clip(c, eps, clamp_max)
+
+    def bands(r, act_b):
+        a, c = -r, -r
+        b = _lockstep_neumann_b(r) + eps * act_b
+        X = tridiag_inverse_operator(
+            lax.stop_gradient(a), lax.stop_gradient(b), lax.stop_gradient(c),
+            operator_dtype)
+        return a, b, c, X
+
+    # x-sweeps: solve axis W.  r=0 on inactive steps (grads die at the mask).
+    alpha = coeff(ab, at, ts_s[:, :, (0, 2)])                # (S,K,2,C,H,W)
+    r_x = alpha * dtfac_x * act_x
+    ox = bands(r_x, act_x)
+    # y-sweeps: transposed fields, solve axis H
+    beta_t = jnp.swapaxes(coeff(bb, bt, ts_s[:, :, 1:2])[:, :, 0],
+                          -1, -2)                            # (S,K,C,W,H)
+    r_y = beta_t * dtfac_y * act_y
+    oy = bands(r_y, act_y)
+
+    sub = lambda i: tuple(l[:, :, i] for l in ox)            # (S,K,C,H,*)
+    xs = (mix_eff, sub(0), oy, sub(1))
+
+    U = jnp.broadcast_to(u[:, None], (B, K, C, H, W))
+
+    def step(U, x):
+        m, ox0, oyt, ox1 = x
+        # per-branch channel mixing as broadcast multiply-reduce
+        U = jnp.sum(m[None, :, :, :, None, None] * U[:, :, None], axis=3)
+        U = apply_sweep(ox0, U)
+        U = apply_sweep_y(oyt, U)
+        U = apply_sweep(ox1, U)
+        return U, None
+
+    U, _ = lax.scan(step, U, xs)
     return U

@@ -55,3 +55,40 @@ def test_fused_extractor_and_model(rng, key):
     g = jax.grad(loss)(params)
     ga = np.asarray(g["feature_extractor"]["pde2"]["alpha_base"])
     assert np.isfinite(ga).all() and np.abs(ga).max() > 0
+
+
+def test_hoisted_lockstep_matches_default(rng, key):
+    """lockstep_hoisted=True (identity-padded precomputed operator stacks,
+    24 sequential stacked-matmul sweeps) must match the default sequential
+    extractor — forward and parameter gradients.  Measured SLOWER than the
+    sequential hoisted path on v5e (PERF.md §lockstep) — kept as a tested
+    study option."""
+    from cnn_pde_tpu.models import CIFAR10PDENoConv
+    from cnn_pde_tpu.nn import Ctx
+
+    x = jnp.asarray(rng.random((4, 3, 32, 32)).astype(np.float32))
+    m_d, m_l = CIFAR10PDENoConv(), CIFAR10PDENoConv()
+    m_l.extractor.lockstep_hoisted = True
+    params, state = m_d.init(key)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.02 * jax.random.normal(
+            jax.random.fold_in(key, a.size), a.shape), params)
+
+    def feats(m, p):
+        f, _ = m.extractor.apply(p["feature_extractor"],
+                                 state["feature_extractor"], x,
+                                 Ctx(train=False))
+        return f
+
+    np.testing.assert_allclose(np.asarray(feats(m_l, params)),
+                               np.asarray(feats(m_d, params)),
+                               rtol=0, atol=1e-5)
+
+    g_d = jax.grad(lambda p: jnp.sum(feats(m_d, p) ** 2))(params)
+    g_l = jax.grad(lambda p: jnp.sum(feats(m_l, p) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_d),
+                    jax.tree_util.tree_leaves(g_l)):
+        scale = max(1.0, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale,
+                                   rtol=0, atol=2e-5)

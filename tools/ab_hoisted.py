@@ -41,6 +41,13 @@ def bench_variant(variant, n, batch_size, samples=3):
                 # *_refine = the older two-matmul implicit-function apply;
                 # default = single-matmul custom-VJP apply
                 pde.hoisted_refine = variant.endswith("_refine")
+        if variant.startswith("lockstep"):
+            # all 3 branches in lockstep with identity-padded precomputed
+            # operators: 24 sequential stacked-matmul sweeps instead of 51
+            model.extractor.lockstep_hoisted = True
+            if "bf16" in variant:
+                for pde in model.extractor.pdes:
+                    pde.operator_dtype = jnp.bfloat16
         trainer = Trainer(model,
                           preset.make_train_config(batch_size=batch_size),
                           preset.make_schedule(100),
@@ -82,7 +89,7 @@ def main():
     ap.add_argument("--n", type=int, default=300)
     ap.add_argument("--variants", nargs="+",
                     default=["default", "hoisted_f32", "hoisted_bf16",
-                             "hoisted_f32_refine", "hoisted_bf16_refine",
+                             "lockstep_f32", "lockstep_bf16",
                              "matinv_bf16"])
     args = ap.parse_args()
 
