@@ -35,13 +35,20 @@ __all__ = [
 class Linear(Module):
     """y = x @ W + b with torch-default init (kaiming_uniform a=√5), or the
     explicit schemes the reference uses ('kaiming_normal' + zero bias at
-    cifar10.py:308-311, 'normal0.01' at tiny_imagenet.py:282-284)."""
+    cifar10.py:308-311, 'normal0.01' at tiny_imagenet.py:282-284).
 
-    def __init__(self, in_features, out_features, bias=True, weight_init="torch_default"):
+    ``compute_dtype`` (default None = exact input dtype) casts the matmul
+    OPERANDS only, accumulating in f32 on the MXU — the torch
+    ``autocast``-on-nn.Linear analogue (cifar10.py:440).  Master params and
+    the bias add stay f32; ``pde.enable_amp`` flips this to bf16."""
+
+    def __init__(self, in_features, out_features, bias=True, weight_init="torch_default",
+                 compute_dtype=None):
         self.in_features = in_features
         self.out_features = out_features
         self.use_bias = bias
         self.weight_init = weight_init
+        self.compute_dtype = compute_dtype
 
     def init(self, key):
         kw, kb = jax.random.split(key)
@@ -69,7 +76,12 @@ class Linear(Module):
         return p, {}
 
     def apply(self, params, state, x, ctx):
-        y = x @ params["w"]
+        cd = getattr(self, "compute_dtype", None)
+        if cd is not None:
+            y = jnp.dot(x.astype(cd), params["w"].astype(cd),
+                        preferred_element_type=jnp.float32)
+        else:
+            y = x @ params["w"]
         if self.use_bias:
             y = y + params["b"]
         return y, state
@@ -140,10 +152,16 @@ class Dropout(Module):
 
 class Conv2d(Module):
     """NCHW conv matching torch.nn.Conv2d (OIHW kernel, torch-default or
-    kaiming_normal fan_out init — tiny_imagenet.py:277-278)."""
+    kaiming_normal fan_out init — tiny_imagenet.py:277-278).
+
+    ``compute_dtype`` (default None = exact) casts the conv operands only,
+    f32 accumulation — the torch autocast-on-nn.Conv2d analogue; flipped to
+    bf16 by ``pde.enable_amp``."""
 
     def __init__(self, in_channels, out_channels, kernel_size, stride=1,
-                 padding=0, bias=True, groups=1, weight_init="torch_default"):
+                 padding=0, bias=True, groups=1, weight_init="torch_default",
+                 compute_dtype=None):
+        self.compute_dtype = compute_dtype
         self.in_channels = in_channels
         self.out_channels = out_channels
         self.kernel_size = (kernel_size, kernel_size) if isinstance(kernel_size, int) else tuple(kernel_size)
@@ -172,13 +190,21 @@ class Conv2d(Module):
 
     def apply(self, params, state, x, ctx):
         ph, pw = self.padding
+        cd = getattr(self, "compute_dtype", None)
+        # bf16 OUTPUT (not preferred_element_type=f32): exactly autocast's
+        # conv semantics, and it keeps fwd/bwd dtypes consistent — the conv
+        # transpose rule rejects a f32 cotangent against bf16 operands.
+        x_c, w_c = ((x.astype(cd), params["w"].astype(cd)) if cd is not None
+                    else (x, params["w"]))
         y = lax.conv_general_dilated(
-            x, params["w"],
+            x_c, w_c,
             window_strides=self.stride,
             padding=((ph, ph), (pw, pw)),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             feature_group_count=self.groups,
         )
+        if cd is not None:
+            y = y.astype(jnp.float32)
         if self.use_bias:
             y = y + params["b"][None, :, None, None]
         return y, state

@@ -133,3 +133,41 @@ def test_sequential_and_param_paths(key):
     assert y.shape == (3, 5)
     # BN state updated in train mode
     assert not np.allclose(np.asarray(new_state["1"]["mean"]), 0.0)
+
+
+def test_compute_dtype_bf16_linear_conv(rng, key):
+    """Dense AMP surface (pde.enable_amp dense=True): Linear/Conv2d with
+    compute_dtype=bf16 cast OPERANDS only and accumulate f32 — outputs are
+    f32 and within bf16-rounding tolerance of the exact path.  Emulated
+    rounding bounds it on backends without native bf16 dots."""
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    lin = nn.Linear(64, 32)
+    params, state = lin.init(key)
+    y32, _ = lin(params, state, jnp.asarray(x))
+    lin.compute_dtype = jnp.bfloat16
+    try:
+        y16, _ = lin(params, state, jnp.asarray(x))
+        y16.block_until_ready()
+    except Exception as e:  # CPU thunk runtime: some bf16 dots unsupported
+        if "BF16" not in str(e):
+            raise
+    else:
+        assert y16.dtype == jnp.float32
+        scale = float(jnp.max(jnp.abs(y32)))
+        assert float(jnp.max(jnp.abs(y16 - y32))) / scale < 0.03
+
+    xc = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    conv = nn.Conv2d(3, 8, 3, padding=1)
+    pc, sc = conv.init(key)
+    c32, _ = conv(pc, sc, jnp.asarray(xc))
+    conv.compute_dtype = jnp.bfloat16
+    try:
+        c16, _ = conv(pc, sc, jnp.asarray(xc))
+        c16.block_until_ready()
+    except Exception as e:
+        if "BF16" not in str(e):
+            raise
+    else:
+        assert c16.dtype == jnp.float32
+        scale = float(jnp.max(jnp.abs(c32)))
+        assert float(jnp.max(jnp.abs(c16 - c32))) / scale < 0.03

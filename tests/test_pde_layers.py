@@ -253,9 +253,12 @@ def test_enable_amp_wiring():
     """pde.enable_amp must find every ADI diffusion layer in a model tree,
     flip it to the hoisted-bf16 path, and set the global solver default to
     matinv_bf16 (restored afterwards)."""
+    from cnn_pde_tpu.nn.layers import Conv2d, Linear
     from cnn_pde_tpu.ops import tridiag
     from cnn_pde_tpu.models import MODEL_REGISTRY
     from cnn_pde_tpu.pde import enable_amp, iter_adi_layers
+    from cnn_pde_tpu.pde.amp import iter_modules
+    from cnn_pde_tpu.pde.ruthotto import SymmetricLayer
 
     prev = tridiag.set_default_impl("auto")
     try:
@@ -266,9 +269,29 @@ def test_enable_amp_wiring():
             assert lay.hoisted and lay.operator_dtype == jnp.bfloat16
             assert not lay.hoisted_refine
         assert tridiag._DEFAULT_IMPL == "matinv_bf16"
+        # plain Linears are NOT cast (measured loss — XLA DEFAULT matmuls
+        # already run as MXU passes; pde/amp.py docstring)
+        linears = list(iter_modules(flagship, Linear))
+        assert linears and all(l.compute_dtype is None for l in linears)
 
-        # a model with no ADI layers: impl still switches, zero layers found
-        emotion = MODEL_REGISTRY["emotion"]()
-        assert enable_amp(emotion) == 0
+        # a model with no ADI layers: impl still switches, zero ADI layers
+        # found, but the conv backbone gets bf16 operands (+7% measured)
+        tiny = MODEL_REGISTRY["tiny_imagenet"]()
+        assert enable_amp(tiny) == 0
+        convs = list(iter_modules(tiny, Conv2d))
+        assert convs and all(c.compute_dtype == jnp.bfloat16 for c in convs)
+
+        # dense=False leaves the conv backbone exact
+        tiny2 = MODEL_REGISTRY["tiny_imagenet"]()
+        enable_amp(tiny2, dense=False)
+        assert all(c.compute_dtype is None
+                   for c in iter_modules(tiny2, Conv2d))
+
+        # the hybrid's Ruthotto blocks stay/become bf16 too
+        hybrid = MODEL_REGISTRY["cifar10_hybrid"]()
+        enable_amp(hybrid)
+        syms = list(iter_modules(hybrid, SymmetricLayer))
+        assert len(syms) == 3
+        assert all(s.compute_dtype == jnp.bfloat16 for s in syms)
     finally:
         tridiag.set_default_impl(prev)
