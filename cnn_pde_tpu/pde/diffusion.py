@@ -25,6 +25,8 @@ small matmuls on the MXU.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,6 +69,48 @@ def _hoisted_operators(params, ts, dt, dt_y, dx, dy, *, smooth, eps,
     if strang:
         return sub(0), ops_y, sub(1)
     return sub(0), ops_y
+
+
+_OPERATOR_CAPTURE = None
+
+
+@contextmanager
+def capture_operators():
+    """Trace-time capture of hoisted sweep operators, for frozen-params
+    serving (serve.cache_hoisted_operators).  While active, every hoisted
+    layer that COMPUTES its operators appends ``(layer, operators)`` to the
+    yielded list — under jit the operators are tracers, which the probe
+    function returns so they materialize as concrete arrays in layer order."""
+    global _OPERATOR_CAPTURE
+    prev, cap = _OPERATOR_CAPTURE, []
+    _OPERATOR_CAPTURE = cap
+    try:
+        yield cap
+    finally:
+        _OPERATOR_CAPTURE = prev
+
+
+def _layer_operators(layer, params, ts, dt, dt_y, dx, dy, *, smooth, eps,
+                     cmax=None, strang=True, train=False):
+    """The hoisted branch's operator source: a pinned ``operator_cache``
+    (serving with frozen params) or a fresh in-graph computation.
+
+    The cache is NOT differentiable w.r.t. params and goes stale the moment
+    params change, so training with a cache pinned is refused outright."""
+    cache = getattr(layer, "operator_cache", None)
+    if cache is not None:
+        if train:
+            raise ValueError(
+                "operator_cache is pinned on this layer (frozen-params "
+                "serving mode) but apply() was called with ctx.train=True; "
+                "clear_operator_cache(model) before training")
+        return cache
+    xs = _hoisted_operators(params, ts, dt, dt_y, dx, dy, smooth=smooth,
+                            eps=eps, cmax=cmax, strang=strang,
+                            operator_dtype=layer.operator_dtype)
+    if _OPERATOR_CAPTURE is not None:
+        _OPERATOR_CAPTURE.append((layer, xs))
+    return xs
 
 
 def _substep_times_np(dt: float, num_steps: int) -> np.ndarray:
@@ -186,10 +230,10 @@ class GrayscaleDiffusion(Module):
             return out[:, None], state
 
         if self.hoisted:
-            xs = _hoisted_operators(
-                params, ts, self.dt, self.dt, self.dx, self.dy,
+            xs = _layer_operators(
+                self, params, ts, self.dt, self.dt, self.dx, self.dy,
                 smooth=True, eps=self.eps, strang=True,
-                operator_dtype=self.operator_dtype)
+                train=ctx is not None and ctx.train)
 
             refine = self.hoisted_refine
 
@@ -282,10 +326,10 @@ class ChannelCoupledDiffusion(Module):
             return jnp.sum(coup[:, :, None, None] * u[:, None, :, :, :], axis=2)
 
         if self.hoisted:
-            xs = _hoisted_operators(
-                params, ts, self.dt, self.dt, self.dx, self.dx,
+            xs = _layer_operators(
+                self, params, ts, self.dt, self.dt, self.dx, self.dx,
                 smooth=True, eps=self.eps, strang=True,
-                operator_dtype=self.operator_dtype)
+                train=ctx is not None and ctx.train)
 
             refine = self.hoisted_refine
 
@@ -418,10 +462,10 @@ class MixedChannelDiffusion(Module):
 
         if self.hoisted:
             strang = self.splitting == "strang"
-            xs = _hoisted_operators(
-                params, ts, self.dt, dt_y, self.dx, self.dy,
+            xs = _layer_operators(
+                self, params, ts, self.dt, dt_y, self.dx, self.dy,
                 smooth=False, eps=eps, cmax=cmax, strang=strang,
-                operator_dtype=self.operator_dtype)
+                train=ctx is not None and ctx.train)
 
             refine = self.hoisted_refine
 

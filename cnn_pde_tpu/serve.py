@@ -4,6 +4,10 @@ The reference has no serve or export story (SURVEY.md §3.5 — inference exists
 only as in-loop eval).  Here:
 
 * ``make_predict_fn`` — a jit'd eval-mode callable (logits / probs / labels).
+* ``cache_hoisted_operators`` — frozen-params serving optimization: pin the
+  hoisted ADI layers' sweep inverse operators as constants so batched AMP
+  serving stops paying the per-request operator precompute (the reason AMP
+  lost at batch 1, PERF.md §serving).
 * ``export_model`` / ``load_exported`` — ahead-of-time serialization via
   jax.export (StableHLO): the exported artifact reloads and runs without the
   model-building Python code, the TPU-native analogue of torchscript/ONNX.
@@ -16,7 +20,8 @@ import jax.numpy as jnp
 
 from .nn.core import Ctx
 
-__all__ = ["make_predict_fn", "export_model", "load_exported"]
+__all__ = ["make_predict_fn", "cache_hoisted_operators",
+           "clear_operator_cache", "export_model", "load_exported"]
 
 
 def make_predict_fn(model, params, state, output="logits"):
@@ -32,6 +37,57 @@ def make_predict_fn(model, params, state, output="logits"):
         return logits
 
     return predict
+
+
+def cache_hoisted_operators(model, params, state, sample_images):
+    """Precompute and PIN the sweep inverse operators of every hoisted ADI
+    layer in ``model``, for serving with frozen params.
+
+    The hoisted layers normally compute their operators in-graph from params
+    (so training stays correct); at serving time params never change, so the
+    operators are constants the per-request graph keeps recomputing — the
+    fixed cost that made AMP lose batch-1 serving (PERF.md §serving).  This
+    runs ONE jitted probe forward (operators are batch-free — a batch-1
+    sample suffices), materializes each layer's operators, and pins them on
+    the layer as ``operator_cache``; predict functions built afterwards
+    embed them as jaxpr constants.
+
+    Training with a cache pinned raises (the cache carries no gradient path
+    and goes stale when params change) — ``clear_operator_cache`` undoes it.
+    Returns the number of layers cached."""
+    from .pde.amp import iter_adi_layers
+    from .pde.diffusion import capture_operators
+
+    hoisted = [l for l in iter_adi_layers(model)
+               if getattr(l, "hoisted", False)]
+    if not hoisted:
+        return 0
+
+    with capture_operators() as cap:
+        @jax.jit
+        def probe(p, s, x):
+            model.apply(p, s, x, Ctx(train=False))
+            # cap is populated at trace time; returning the tracers
+            # materializes the operators as concrete arrays, in layer order
+            return [xs for _, xs in cap]
+
+        concrete = probe(params, state, sample_images[:1])
+    for (lay, _), xs in zip(cap, concrete):
+        lay.operator_cache = xs
+    return len(cap)
+
+
+def clear_operator_cache(model):
+    """Unpin operators cached by cache_hoisted_operators (e.g. to resume
+    training).  Returns the number of layers cleared."""
+    from .pde.amp import iter_adi_layers
+
+    n = 0
+    for lay in iter_adi_layers(model):
+        if getattr(lay, "operator_cache", None) is not None:
+            lay.operator_cache = None
+            n += 1
+    return n
 
 
 def export_model(model, params, state, sample_images, path=None):

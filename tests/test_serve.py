@@ -64,3 +64,36 @@ def test_trainer_with_mesh(key):
     assert np.isfinite(stats["loss"])
     ev = trainer.evaluate(state, ds)
     assert 0.0 <= ev["acc"] <= 100.0
+
+
+def test_cache_hoisted_operators(rng, key):
+    """Frozen-params serving: pinning the hoisted sweep operators must not
+    change predictions (f32 operators — exact same computation, hoisted out
+    of the graph), must refuse train-mode applies, and must clear."""
+    from cnn_pde_tpu.models import CIFAR10PDENoConv
+    from cnn_pde_tpu.serve import cache_hoisted_operators, clear_operator_cache
+
+    model = CIFAR10PDENoConv()
+    for pde in model.extractor.pdes:
+        pde.hoisted = True  # f32 operators: CPU-safe, numerically identical
+    params, state = model.init(key)
+    x = jnp.asarray(rng.random((3, 3, 32, 32)).astype(np.float32))
+    ref = make_predict_fn(model, params, state)(x)
+
+    n = cache_hoisted_operators(model, params, state, x)
+    assert n == 3
+    assert all(pde.operator_cache is not None for pde in model.extractor.pdes)
+    out = make_predict_fn(model, params, state)(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+    # training with a pinned cache must refuse (stale-cache hazard)
+    with pytest.raises(ValueError, match="operator_cache"):
+        model.apply(params, state, x,
+                    __import__("cnn_pde_tpu.nn.core", fromlist=["Ctx"]).Ctx(
+                        train=True, rng=key))
+
+    assert clear_operator_cache(model) == 3
+    # a non-hoisted model is a no-op
+    plain = CIFAR10PDENoConv()
+    assert cache_hoisted_operators(plain, params, state, x) == 0

@@ -43,7 +43,7 @@ def main():
     from cnn_pde_tpu.ops.tridiag import set_default_impl
     from cnn_pde_tpu.serve import make_predict_fn
 
-    variants = ["xla", "fused"] + (["amp"] if args.amp else [])
+    variants = ["xla", "fused"] + (["amp", "amp_cached"] if args.amp else [])
     results = {}
     for tag in variants:
         if tag == "fused" and jax.default_backend() != "tpu":
@@ -52,13 +52,20 @@ def main():
             print("skipping fused variant: not on TPU (would re-measure "
                   "the XLA path under a misleading label)", flush=True)
             continue
-        prev_impl = set_default_impl("matinv_bf16") if tag == "amp" else None
+        amp = tag.startswith("amp")
+        prev_impl = set_default_impl("matinv_bf16") if amp else None
         model = CIFAR10PDENoConv(fused_pde=(tag == "fused"))
-        if tag == "amp":  # hoisted-bf16 layers — the production AMP config
+        if amp:  # hoisted-bf16 layers — the production AMP config
             from cnn_pde_tpu.pde import enable_amp
 
             enable_amp(model)
         params, state = model.init(jax.random.PRNGKey(0))
+        if tag == "amp_cached":
+            # frozen-params serving: pin the sweep operators as constants
+            from cnn_pde_tpu.serve import cache_hoisted_operators
+
+            sample = jnp.zeros((1, 3, 32, 32), jnp.float32)
+            cache_hoisted_operators(model, params, state, sample)
         for bs in args.batch_sizes:
             g = np.random.default_rng(0)
             images = jnp.asarray(g.random((bs, 3, 32, 32)).astype(np.float32))
