@@ -24,11 +24,16 @@ __all__ = ["make_predict_fn", "cache_hoisted_operators",
            "clear_operator_cache", "export_model", "load_exported"]
 
 
-def make_predict_fn(model, params, state, output="logits"):
-    """output: 'logits' | 'probs' | 'labels'."""
+def make_predict_fn(model, params, state, output="logits", mesh=None):
+    """output: 'logits' | 'probs' | 'labels'.
 
-    @jax.jit
-    def predict(images):
+    ``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis — batched
+    data-parallel serving: the request batch is sharded over 'data', params
+    replicated, outputs sharded; XLA runs each shard's forward on its own
+    chip with no collectives (inference has no gradient all-reduce).  The
+    batch size must be divisible by the 'data' axis size."""
+
+    def predict_impl(images):
         logits, _ = model.apply(params, state, images, Ctx(train=False))
         if output == "probs":
             return jax.nn.softmax(logits, axis=-1)
@@ -36,7 +41,14 @@ def make_predict_fn(model, params, state, output="logits"):
             return jnp.argmax(logits, axis=-1)
         return logits
 
-    return predict
+    if mesh is None:
+        return jax.jit(predict_impl)
+
+    from .parallel.mesh import dp_shardings
+
+    batch_s, _ = dp_shardings(mesh)
+    return jax.jit(predict_impl, in_shardings=(batch_s,),
+                   out_shardings=batch_s)
 
 
 def cache_hoisted_operators(model, params, state, sample_images):

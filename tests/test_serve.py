@@ -97,3 +97,22 @@ def test_cache_hoisted_operators(rng, key):
     # a non-hoisted model is a no-op
     plain = CIFAR10PDENoConv()
     assert cache_hoisted_operators(plain, params, state, x) == 0
+
+
+def test_dp_predict_matches_single_device(rng, key):
+    """make_predict_fn(mesh=) shards the request batch over 'data'; the
+    predictions must equal the single-device path exactly."""
+    from cnn_pde_tpu.parallel.mesh import make_mesh
+
+    model = MNISTClassifier()
+    params, state = model.init(key)
+    x = jnp.asarray(rng.random((16, 1, 28, 28)).astype(np.float32))
+    ref = make_predict_fn(model, params, state, output="probs")(x)
+
+    mesh = make_mesh(spatial=1)
+    out = make_predict_fn(model, params, state, output="probs", mesh=mesh)(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+    lbl = make_predict_fn(model, params, state, output="labels", mesh=mesh)(x)
+    np.testing.assert_array_equal(np.asarray(lbl),
+                                  np.asarray(ref).argmax(-1))
