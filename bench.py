@@ -153,6 +153,9 @@ def main():
         "hbm_gbps": round(hbm_gbps, 1) if hbm_gbps is not None else None,
         "hbm_util": (round(hbm_gbps / V5E_PEAK_HBM_GBPS, 3)
                      if hbm_gbps is not None else None),
+        "hbm_note": "bytes = XLA cost-model upper bound (pre-fusion operand "
+                    "counts); util > 1.0 means on-chip reuse beats the naive "
+                    "byte count, not a measurement error",
         "amp": bool(args.amp),
     }))
 

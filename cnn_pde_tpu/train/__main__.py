@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--checkpoint-backend", default="pickle",
                     choices=["pickle", "orbax"])
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--async-checkpoint", action="store_true",
+                    help="save best checkpoints off-thread (device fetch + "
+                         "disk write overlap training)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--dp", action="store_true",
@@ -112,6 +115,7 @@ def main():
     result = trainer.fit(state, dataset, verbose=not args.quiet,
                          checkpoint_dir=args.checkpoint_dir,
                          checkpoint_backend=args.checkpoint_backend,
+                         checkpoint_async=args.async_checkpoint,
                          param_stats_fn=stats_fn)
     print(json.dumps({
         "preset": preset.name,

@@ -23,7 +23,8 @@ import pickle
 import jax
 import numpy as np
 
-__all__ = ["save_checkpoint", "load_checkpoint", "restore_state"]
+__all__ = ["save_checkpoint", "save_checkpoint_async", "wait_for_checkpoints",
+           "load_checkpoint", "restore_state"]
 
 _COMPONENTS = ("params", "model_state", "opt_state")
 
@@ -57,6 +58,49 @@ def save_checkpoint(directory, state, tag="last", backend="pickle"):
         pickle.dump(payload, f)
     os.replace(tmp, path)
     return path
+
+
+_ASYNC_EXECUTOR = None
+_PENDING = []
+
+
+def save_checkpoint_async(directory, state, tag="last", backend="pickle"):
+    """save_checkpoint off the training thread.
+
+    JAX arrays are immutable — the training loop's next step produces NEW
+    arrays, so the worker can fetch (device→host) and write the snapshot it
+    was handed while training continues; neither the tunnel round trip nor
+    disk IO stalls the step loop.  A single worker serializes saves (last
+    writer wins per tag, as in the sync path).  Returns a Future; call
+    ``wait_for_checkpoints()`` before reading the files or exiting.
+
+    The state components are captured EAGERLY (the TrainState object itself
+    is mutated by fit() on restore/rebind), so the snapshot is of the state
+    at call time."""
+    import concurrent.futures
+    import types
+
+    global _ASYNC_EXECUTOR
+    if _ASYNC_EXECUTOR is None:
+        _ASYNC_EXECUTOR = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt")
+    snapshot = types.SimpleNamespace(
+        step=int(state.step),
+        **{c: getattr(state, c) for c in _COMPONENTS})
+    fut = _ASYNC_EXECUTOR.submit(save_checkpoint, directory, snapshot,
+                                 tag, backend)
+    _PENDING.append(fut)
+    return fut
+
+
+def wait_for_checkpoints():
+    """Block until every async save has landed; re-raises the first failure.
+    Returns the number of saves waited on."""
+    global _PENDING
+    pending, _PENDING = _PENDING, []
+    for fut in pending:
+        fut.result()
+    return len(pending)
 
 
 def load_checkpoint(directory, tag="last"):

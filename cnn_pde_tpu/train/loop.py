@@ -443,10 +443,15 @@ class Trainer:
 
     def fit(self, state: TrainState, dataset, *, verbose=True,
             checkpoint_dir=None, checkpoint_backend="pickle",
-            param_stats_fn=None):
+            checkpoint_async=False, param_stats_fn=None):
         """Full training run with eval cadence, best-acc tracking, early
         stopping and optional best-model checkpointing (the reference's only
-        checkpoint: emotion_recognition.py:359-363)."""
+        checkpoint: emotion_recognition.py:359-363).
+
+        ``checkpoint_async=True`` saves best checkpoints off-thread
+        (checkpoint.save_checkpoint_async): the device→host fetch and the
+        disk write overlap the next training chunk instead of stalling it;
+        fit() flushes every pending save before returning."""
         cfg = self.config
         best_acc, patience_count = 0.0, 0
         history = []
@@ -483,9 +488,12 @@ class Trainer:
                     best_acc = ev["acc"]
                     patience_count = 0
                     if checkpoint_dir is not None:
-                        from .checkpoint import save_checkpoint
-                        save_checkpoint(checkpoint_dir, state, tag="best",
-                                        backend=checkpoint_backend)
+                        from .checkpoint import (save_checkpoint,
+                                                 save_checkpoint_async)
+                        save = (save_checkpoint_async if checkpoint_async
+                                else save_checkpoint)
+                        save(checkpoint_dir, state, tag="best",
+                             backend=checkpoint_backend)
                 else:
                     patience_count += 1
                 if (cfg.early_stop_patience is not None
@@ -494,6 +502,9 @@ class Trainer:
                         print(f"Early stopping at epoch {epoch}")
                     stop = True
             history.extend(stats_list)
+        if checkpoint_async and checkpoint_dir is not None:
+            from .checkpoint import wait_for_checkpoints
+            wait_for_checkpoints()
         return {"best_acc": best_acc, "history": history}
 
 

@@ -383,3 +383,42 @@ def test_native_loader_warning_fires_on_fused_fit(key):
         warnings.simplefilter("always")
         trainer.fit(state, ds, verbose=False)
     assert any("native loader" in str(w.message) for w in caught)
+
+
+def test_async_checkpoint_roundtrip_and_isolation(key, tmp_path):
+    """save_checkpoint_async: the snapshot is of the state at submit time
+    (later mutation of the TrainState must not leak in), the write lands
+    after wait_for_checkpoints, and fit(checkpoint_async=True) produces a
+    restorable best checkpoint."""
+    from cnn_pde_tpu.train.checkpoint import (save_checkpoint_async,
+                                              wait_for_checkpoints)
+
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=8, synthetic_test_per_class=3)
+    model = MNISTClassifier()
+    cfg = TrainConfig(epochs=2, batch_size=16, eval_every=1, log_every=10**9)
+    trainer = Trainer(model, cfg, lambda s: 1e-3)
+    state = trainer.init_state(key, None)
+
+    leaf_path = jax.tree_util.tree_leaves(state.params)[0]
+    before = np.asarray(leaf_path).copy()
+    save_checkpoint_async(str(tmp_path / "a"), state, tag="best")
+    # mutate the TrainState binding AFTER submit: snapshot must not follow
+    state.params = jax.tree_util.tree_map(lambda x: x + 1000.0, state.params)
+    state.step = 777
+    assert wait_for_checkpoints() == 1
+    state2 = trainer.init_state(jax.random.PRNGKey(5), None)
+    restore_state(state2, str(tmp_path / "a"), tag="best")
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state2.params)[0]), before)
+    assert state2.step != 777
+
+    # end-to-end through fit()
+    state3 = trainer.init_state(jax.random.PRNGKey(6), None)
+    result = trainer.fit(state3, ds, verbose=False,
+                         checkpoint_dir=str(tmp_path / "b"),
+                         checkpoint_async=True)
+    state4 = trainer.init_state(jax.random.PRNGKey(7), None)
+    restore_state(state4, str(tmp_path / "b"), tag="best")
+    ev = trainer.evaluate(state4, ds)
+    assert abs(ev["acc"] - result["best_acc"]) < 1e-6

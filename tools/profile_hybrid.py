@@ -27,6 +27,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--amp", action="store_true",
+                    help="profile under pde.enable_amp")
     args = ap.parse_args()
 
     from cnn_pde_tpu.data import build_augment_fn
@@ -38,6 +40,10 @@ def main():
 
     preset = get_preset("cifar10_hybrid")
     model = CIFAR10HybridPDEModel()
+    if args.amp:
+        from cnn_pde_tpu.pde import enable_amp
+
+        enable_amp(model)
     trainer = Trainer(model,
                       preset.make_train_config(batch_size=args.batch_size),
                       preset.make_schedule(100),
