@@ -67,8 +67,27 @@ _LAPLACIAN_KERNEL = np.array(
 
 
 def laplacian(u: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 5-point Laplacian with zero padding on NCHW input (B, C, H, W),
-    matching F.conv2d(laplacian_kernel, padding=1) at tiny_imagenet.py:69."""
+    """5-point Laplacian with zero (Dirichlet-0) padding on NCHW input,
+    matching F.conv2d(laplacian_kernel, padding=1) at tiny_imagenet.py:69.
+
+    Implemented as zero-padded SHIFT-ADDS, not a depthwise conv: a C=3
+    groups=3 conv is a degenerate op (one 3×3 kernel per single-channel
+    group — no MXU work to tile) that measured ~24× its bandwidth floor on
+    the tiny_imagenet front-end; the shift form is pure VPU arithmetic on
+    the same tensor (same values up to f32 add reassociation ~1e-7, inside
+    the 1e-5 parity budget).  A/B: ops/stencil.py::_laplacian_conv kept for
+    the test oracle; PERF.md §tiny front-end."""
+    z_row = jnp.zeros_like(u[:, :, :1, :])
+    down = jnp.concatenate([u[:, :, 1:, :], z_row], axis=2)    # u[i+1, j]
+    up = jnp.concatenate([z_row, u[:, :, :-1, :]], axis=2)     # u[i-1, j]
+    z_col = jnp.zeros_like(u[..., :1])
+    right = jnp.concatenate([u[..., 1:], z_col], axis=-1)      # u[i, j+1]
+    left = jnp.concatenate([z_col, u[..., :-1]], axis=-1)      # u[i, j-1]
+    return (up + down) + (left + right) - 4.0 * u
+
+
+def _laplacian_conv(u: jnp.ndarray) -> jnp.ndarray:
+    """The original depthwise-conv formulation (test oracle / A/B)."""
     C = u.shape[1]
     kernel = jnp.broadcast_to(
         _LAPLACIAN_KERNEL.astype(u.dtype)[None, None], (C, 1, 3, 3)
