@@ -131,3 +131,9 @@ def load_exported(path_or_bytes):
             blob = f.read()
     exported = jexport.deserialize(blob)
     return lambda images: exported.call(images)
+
+
+if __name__ == "__main__":  # python -m cnn_pde_tpu.serve
+    from .serve_cli import main
+
+    main()

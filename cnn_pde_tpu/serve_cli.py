@@ -1,0 +1,129 @@
+"""Serving CLI — load a trained checkpoint and predict / export / bench.
+
+    python -m cnn_pde_tpu.serve --preset mnist --checkpoint-dir ckpt \
+        [--input batch.npy] [--export model.stablehlo] [--amp] [--dp]
+
+The reference has no inference/serve path at all (SURVEY.md §3.5 — inference
+exists only as in-loop eval); this is the production complement to the
+training CLI:
+
+* ``--input X.npy``    predict labels/probs for a saved batch (NCHW float32)
+* ``--export P``       serialize the eval-mode forward to StableHLO bytes
+                       (reloadable without the model-building code)
+* ``--amp``            bf16 hoisted-inverse solves + frozen-params operator
+                       caching (`cache_hoisted_operators`) — the fastest
+                       serving configuration at every batch size (PERF.md
+                       §serving)
+* ``--dp``             shard the request batch over all visible devices
+* no flags             smoke: predict on a random batch and print a summary
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser(description="cnn_pde_tpu serving")
+    ap.add_argument("--preset", required=True)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="restore params/state from this dir (tag 'best'); "
+                         "omit for a random-init smoke run")
+    ap.add_argument("--tag", default="best")
+    ap.add_argument("--input", default=None,
+                    help=".npy batch (NCHW float32) to predict on")
+    ap.add_argument("--output", default="labels",
+                    choices=["labels", "probs", "logits"])
+    ap.add_argument("--export", default=None,
+                    help="write the eval-mode forward as StableHLO to PATH")
+    ap.add_argument("--batch-size", type=int, default=8,
+                    help="smoke/export batch size when no --input is given")
+    ap.add_argument("--amp", action="store_true",
+                    help="bf16 solves + frozen-params operator caching")
+    ap.add_argument("--dp", action="store_true",
+                    help="shard the batch over all visible devices")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .data import SYNTHETIC_SPECS
+    from .models import MODEL_REGISTRY
+    from .serve import (cache_hoisted_operators, export_model,
+                        make_predict_fn)
+    from .utils.config import get_preset
+
+    preset = get_preset(args.preset)
+    channels, size, classes = SYNTHETIC_SPECS[preset.dataset]
+    model = MODEL_REGISTRY[preset.model](**preset.model_kwargs)
+    if args.amp:
+        from .pde import enable_amp
+
+        enable_amp(model)
+
+    params, state = model.init(jax.random.PRNGKey(0))
+    restored = False
+    if args.checkpoint_dir:
+        from .train.checkpoint import load_checkpoint
+
+        payload = load_checkpoint(args.checkpoint_dir, tag=args.tag)
+        flat = payload.get("_flat", False)
+        from .train.checkpoint import _restore_tree
+
+        params = _restore_tree(params, payload.get("params", {})
+                               if flat else payload["params"], flat)
+        state = _restore_tree(state, payload.get("model_state", {})
+                              if flat else payload["model_state"], flat)
+        restored = True
+
+    if args.input:
+        images = jnp.asarray(np.load(args.input).astype(np.float32))
+    else:
+        images = jnp.asarray(np.random.default_rng(0).random(
+            (args.batch_size, channels, size, size)).astype(np.float32))
+
+    if args.amp:
+        n_cached = cache_hoisted_operators(model, params, state, images)
+    else:
+        n_cached = 0
+
+    mesh = None
+    if args.dp:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(spatial=1)
+
+    if args.export:
+        export_model(model, params, state, images, args.export)
+
+    predict = make_predict_fn(model, params, state, output=args.output,
+                              mesh=mesh)
+    out = np.asarray(predict(images))
+
+    summary = {
+        "preset": preset.name,
+        "restored": restored,
+        "batch": int(images.shape[0]),
+        "output": args.output,
+        "amp_cached_layers": n_cached,
+        "devices": int(mesh.devices.size) if mesh is not None else 1,
+    }
+    if args.export:
+        summary["exported"] = args.export
+    if args.output == "labels":
+        summary["predictions"] = out.tolist()
+    else:
+        summary["shape"] = list(out.shape)
+        summary["argmax"] = out.argmax(-1).tolist()
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

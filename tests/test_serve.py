@@ -116,3 +116,39 @@ def test_dp_predict_matches_single_device(rng, key):
     lbl = make_predict_fn(model, params, state, output="labels", mesh=mesh)(x)
     np.testing.assert_array_equal(np.asarray(lbl),
                                   np.asarray(ref).argmax(-1))
+
+
+def test_serve_cli_roundtrip(tmp_path):
+    """Serve CLI end-to-end: train 1 epoch saving a best checkpoint, then
+    restore + predict on a saved batch + export StableHLO; the exported
+    artifact must reload and agree with the CLI's predictions."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = tmp_path / "ckpt"
+    out = subprocess.run(
+        [sys.executable, "-m", "cnn_pde_tpu.train", "--preset", "mnist",
+         "--synthetic", "--epochs", "1", "--checkpoint-dir", str(ckpt),
+         "--platform", "cpu", "--quiet"],
+        cwd=repo, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    batch = np.random.default_rng(0).random((4, 1, 28, 28)).astype(np.float32)
+    np.save(tmp_path / "batch.npy", batch)
+    export_path = tmp_path / "model.stablehlo"
+    out = subprocess.run(
+        [sys.executable, "-m", "cnn_pde_tpu.serve", "--preset", "mnist",
+         "--checkpoint-dir", str(ckpt), "--input", str(tmp_path / "batch.npy"),
+         "--export", str(export_path), "--platform", "cpu"],
+        cwd=repo, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["restored"] and len(summary["predictions"]) == 4
+    assert export_path.stat().st_size > 0
+
+    restored = load_exported(str(export_path))
+    logits = np.asarray(restored(jnp.asarray(batch)))
+    assert logits.argmax(-1).tolist() == summary["predictions"]
