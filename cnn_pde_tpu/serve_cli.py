@@ -71,16 +71,12 @@ def main():
     params, state = model.init(jax.random.PRNGKey(0))
     restored = False
     if args.checkpoint_dir:
-        from .train.checkpoint import load_checkpoint
+        from .train.checkpoint import load_checkpoint, restore_components
 
         payload = load_checkpoint(args.checkpoint_dir, tag=args.tag)
-        flat = payload.get("_flat", False)
-        from .train.checkpoint import _restore_tree
-
-        params = _restore_tree(params, payload.get("params", {})
-                               if flat else payload["params"], flat)
-        state = _restore_tree(state, payload.get("model_state", {})
-                              if flat else payload["model_state"], flat)
+        out = restore_components(payload, {"params": params,
+                                           "model_state": state})
+        params, state = out["params"], out["model_state"]
         restored = True
 
     if args.input:

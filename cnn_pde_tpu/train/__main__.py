@@ -49,10 +49,11 @@ def main():
                          "plugins; this flag applies jax.config.update before "
                          "any device use, which wins")
     ap.add_argument("--amp", action="store_true",
-                    help="bf16 hoisted-inverse ADI solves (pde.enable_amp) — "
-                         "the TPU analogue of the reference's AMP autocast "
-                         "training (cifar10.py:440); half-precision "
-                         "numerics, see PERF.md")
+                    help="pde.enable_amp: bf16 hoisted-inverse ADI solves + "
+                         "bf16-operand convs/Ruthotto matmuls — the TPU "
+                         "analogue of the reference's AMP autocast training "
+                         "(cifar10.py:440); half-precision numerics, "
+                         "accuracy validated per preset, see PERF.md")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -81,10 +82,15 @@ def main():
 
     model = MODEL_REGISTRY[preset.model](**preset.model_kwargs)
     if args.amp:
+        from ..nn.layers import Conv2d
         from ..pde import enable_amp
+        from ..pde.amp import iter_modules
+        from ..pde.ruthotto import SymmetricLayer
 
         n_amp = enable_amp(model)
-        print(f"AMP: {n_amp} hoisted-bf16 ADI layers + matinv_bf16 solves")
+        n_dense = len(list(iter_modules(model, (Conv2d, SymmetricLayer))))
+        print(f"AMP: {n_amp} hoisted-bf16 ADI layers + {n_dense} bf16 dense "
+              f"ops (conv/Ruthotto) + matinv_bf16 solves")
     schedule = preset.make_schedule(steps_per_epoch)
     config = preset.make_train_config(epochs=epochs, batch_size=batch_size,
                                       seed=args.seed,

@@ -24,7 +24,7 @@ import jax
 import numpy as np
 
 __all__ = ["save_checkpoint", "save_checkpoint_async", "wait_for_checkpoints",
-           "load_checkpoint", "restore_state"]
+           "load_checkpoint", "restore_components", "restore_state"]
 
 _COMPONENTS = ("params", "model_state", "opt_state")
 
@@ -67,26 +67,34 @@ _PENDING = []
 def save_checkpoint_async(directory, state, tag="last", backend="pickle"):
     """save_checkpoint off the training thread.
 
-    JAX arrays are immutable — the training loop's next step produces NEW
-    arrays, so the worker can fetch (device→host) and write the snapshot it
-    was handed while training continues; neither the tunnel round trip nor
-    disk IO stalls the step loop.  A single worker serializes saves (last
-    writer wins per tag, as in the sync path).  Returns a Future; call
-    ``wait_for_checkpoints()`` before reading the files or exiting.
-
-    The state components are captured EAGERLY (the TrainState object itself
-    is mutated by fit() on restore/rebind), so the snapshot is of the state
-    at call time."""
+    The snapshot is taken as DEVICE-SIDE COPIES (``jnp.copy``, an async
+    on-device identity — microseconds at HBM bandwidth), NOT as references
+    to the live arrays: the train step/epoch functions are jitted with
+    ``donate_argnums`` over params/model_state/opt_state, so the next
+    dispatch after this call invalidates the original buffers — a worker
+    fetching a donated leaf would die with 'Array has been deleted'.  The
+    copies are owned by nobody else, so the worker's device→host fetch and
+    disk write overlap training safely.  A single worker serializes saves
+    (last writer wins per tag, as in the sync path).  Returns a Future;
+    call ``wait_for_checkpoints()`` before reading the files or exiting."""
     import concurrent.futures
     import types
+
+    import jax.numpy as jnp
 
     global _ASYNC_EXECUTOR
     if _ASYNC_EXECUTOR is None:
         _ASYNC_EXECUTOR = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="ckpt")
+
+    def _device_copy(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else np.array(x),
+            tree)
+
     snapshot = types.SimpleNamespace(
         step=int(state.step),
-        **{c: getattr(state, c) for c in _COMPONENTS})
+        **{c: _device_copy(getattr(state, c)) for c in _COMPONENTS})
     fut = _ASYNC_EXECUTOR.submit(save_checkpoint, directory, snapshot,
                                  tag, backend)
     _PENDING.append(fut)
@@ -146,16 +154,29 @@ def _restore_tree(target, stored, flat):
         lambda t, s: jax.numpy.asarray(s), target, stored)
 
 
-def restore_state(state, directory, tag="last"):
-    """Restore in place into a TrainState created with the same model/optimizer
-    (resume path — absent in the reference)."""
-    payload = load_checkpoint(directory, tag)
+def restore_components(payload, targets):
+    """Restore selected components from a load_checkpoint payload against
+    live target pytrees: ``targets`` maps component name (from _COMPONENTS)
+    to its template tree; returns {name: restored_tree}.  Shared by
+    restore_state and the serve CLI (which has no opt_state to restore)."""
     flat = payload.get("_flat", False)
-    for c in _COMPONENTS:
+    out = {}
+    for c, target in targets.items():
         # flat (orbax) payloads legitimately drop EMPTY components at save
         # time; pickle payloads must contain every component — a missing
         # key means a truncated/foreign file and must fail loudly
         stored = payload.get(c, {}) if flat else payload[c]
-        setattr(state, c, _restore_tree(getattr(state, c), stored, flat))
+        out[c] = _restore_tree(target, stored, flat)
+    return out
+
+
+def restore_state(state, directory, tag="last"):
+    """Restore in place into a TrainState created with the same model/optimizer
+    (resume path — absent in the reference)."""
+    payload = load_checkpoint(directory, tag)
+    restored = restore_components(
+        payload, {c: getattr(state, c) for c in _COMPONENTS})
+    for c, tree in restored.items():
+        setattr(state, c, tree)
     state.step = payload["step"]
     return state

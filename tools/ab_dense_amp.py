@@ -37,15 +37,17 @@ def bench(preset_name, variant, n, samples=3):
     if variant == "amp_solver":
         enable_amp(model, dense=False)
     elif variant == "amp_dense":
+        # the production configuration: enable_amp's dense surface is
+        # Conv2d + SymmetricLayer (Linears excluded — measured loss)
         enable_amp(model, dense=True)
-    elif variant == "amp_conv":
-        # convs + Ruthotto only (weight-traffic-bound ops); plain Linears
-        # stay at XLA DEFAULT precision (already a single bf16 MXU pass)
-        from cnn_pde_tpu.nn.layers import Conv2d
+    elif variant == "amp_all_dense":
+        # the historical "cast every dense op incl. Linear" variant the
+        # PERF.md dense-AMP table compares against (svhn −3%, tiny −5%
+        # vs conv-only) — kept reproducible here
+        from cnn_pde_tpu.nn.layers import Linear
         from cnn_pde_tpu.pde.amp import iter_modules
-        from cnn_pde_tpu.pde.ruthotto import SymmetricLayer
-        enable_amp(model, dense=False)
-        for lay in iter_modules(model, (Conv2d, SymmetricLayer)):
+        enable_amp(model, dense=True)
+        for lay in iter_modules(model, Linear):
             lay.compute_dtype = jnp.bfloat16
     try:
         trainer = Trainer(model, preset.make_train_config(batch_size=bs),
@@ -88,7 +90,8 @@ def main():
                     default=["tiny_imagenet", "cifar10_hybrid", "svhn",
                              "cifar10_noconv", "emotion"])
     ap.add_argument("--variants", nargs="*",
-                    default=["f32", "amp_solver", "amp_dense"])
+                    default=["f32", "amp_solver", "amp_dense",
+                             "amp_all_dense"])
     args = ap.parse_args()
 
     results = {}

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-AMP = False  # set by --amp: hoisted-bf16 layers + matinv_bf16 solves
+AMP = False  # --amp: hoisted-bf16 layers + bf16 dense ops + matinv_bf16
 
 
 def bench_preset(name, n_steps, samples=3):
@@ -76,7 +76,7 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--presets", nargs="*", default=None)
     ap.add_argument("--amp", action="store_true",
-                    help="bf16 hoisted-inverse ADI solves (pde.enable_amp)")
+                    help="pde.enable_amp: bf16 solves + bf16 convs/Ruthotto")
     args = ap.parse_args()
     if args.amp:
         global AMP

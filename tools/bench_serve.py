@@ -36,7 +36,8 @@ def main():
     ap.add_argument("--n", type=int, default=500)
     ap.add_argument("--latency-reps", type=int, default=50)
     ap.add_argument("--amp", action="store_true",
-                    help="also measure the matinv_bf16 serving variant")
+                    help="also measure the enable_amp serving variants "
+                         "(hoisted-bf16 and frozen-operator-cached)")
     args = ap.parse_args()
 
     from cnn_pde_tpu.models import CIFAR10PDENoConv

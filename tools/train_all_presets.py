@@ -26,9 +26,9 @@ def main():
     ap.add_argument("--device-epoch", action="store_true",
                     help="one jit dispatch per epoch (TrainConfig.device_epoch)")
     ap.add_argument("--amp", action="store_true",
-                    help="bf16 hoisted-inverse ADI solves (pde.enable_amp) — "
-                         "validates that AMP training reaches f32-level "
-                         "accuracy on every preset")
+                    help="pde.enable_amp (bf16 hoisted-inverse solves + bf16 "
+                         "convs/Ruthotto) — validates that AMP training "
+                         "reaches f32-level accuracy on every preset")
     args = ap.parse_args()
 
     from cnn_pde_tpu.data import build_augment_fn, load_dataset
