@@ -30,10 +30,19 @@ def main():
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--checkpoint-backend", default="pickle",
                     choices=["pickle", "orbax"])
-    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore from checkpoint-dir ('last' if present, "
+                         "else 'best') and continue from the first "
+                         "uncompleted epoch")
     ap.add_argument("--async-checkpoint", action="store_true",
                     help="save best checkpoints off-thread (device fetch + "
                          "disk write overlap training)")
+    ap.add_argument("--checkpoint-every", type=int, default=None,
+                    help="also save a rolling 'last' checkpoint every N "
+                         "epochs (fault tolerance; pairs with --resume)")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="jax_debug_nans: re-run the offending op eagerly "
+                         "and raise at the first NaN (slow; debugging only)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--dp", action="store_true",
@@ -57,6 +66,8 @@ def main():
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from ..data import build_augment_fn, load_dataset
     from ..models import MODEL_REGISTRY
@@ -108,8 +119,14 @@ def main():
 
     state = trainer.init_state(jax.random.PRNGKey(args.seed), None)
     if args.resume and args.checkpoint_dir:
-        state = restore_state(state, args.checkpoint_dir, tag="best")
-        print(f"Resumed from step {state.step}")
+        import os
+
+        tag = "last" if (
+            os.path.exists(os.path.join(args.checkpoint_dir, "last.ckpt"))
+            or os.path.isdir(os.path.join(args.checkpoint_dir, "last.orbax"))
+        ) else "best"
+        state = restore_state(state, args.checkpoint_dir, tag=tag)
+        print(f"Resumed from step {state.step} ({tag} checkpoint)")
 
     def stats_fn(params, epoch):
         stats = pde_param_stats(params)
@@ -122,6 +139,7 @@ def main():
                          checkpoint_dir=args.checkpoint_dir,
                          checkpoint_backend=args.checkpoint_backend,
                          checkpoint_async=args.async_checkpoint,
+                         checkpoint_every=args.checkpoint_every,
                          param_stats_fn=stats_fn)
     print(json.dumps({
         "preset": preset.name,

@@ -443,7 +443,8 @@ class Trainer:
 
     def fit(self, state: TrainState, dataset, *, verbose=True,
             checkpoint_dir=None, checkpoint_backend="pickle",
-            checkpoint_async=False, param_stats_fn=None):
+            checkpoint_async=False, checkpoint_every=None,
+            start_epoch=None, param_stats_fn=None):
         """Full training run with eval cadence, best-acc tracking, early
         stopping and optional best-model checkpointing (the reference's only
         checkpoint: emotion_recognition.py:359-363).
@@ -451,13 +452,31 @@ class Trainer:
         ``checkpoint_async=True`` saves best checkpoints off-thread
         (checkpoint.save_checkpoint_async): the device→host fetch and the
         disk write overlap the next training chunk instead of stalling it;
-        fit() flushes every pending save before returning."""
+        fit() flushes every pending save before returning.
+
+        Fault tolerance (beyond the reference): ``checkpoint_every=N``
+        additionally saves a rolling 'last' checkpoint (params + BN stats +
+        optimizer state + step) at every chunk boundary that crosses a
+        multiple of N epochs, and once more at the end.  ``start_epoch``
+        resumes mid-run: None (default) derives it from ``state.step``
+        (restored by checkpoint.restore_state) and the dataset's
+        steps-per-epoch, so a killed run restarted with --resume continues
+        from the first uncompleted epoch with schedule/optimizer state
+        intact."""
         cfg = self.config
         best_acc, patience_count = 0.0, 0
         history = []
         fuse = (cfg.device_epoch and cfg.multi_epoch_dispatch
                 and hasattr(dataset, "train_arrays"))
-        epoch = 0
+        if start_epoch is None:
+            spe = (dataset.steps_for_batch(cfg.batch_size)
+                   if hasattr(dataset, "steps_for_batch") else None)
+            start_epoch = min(int(state.step) // spe, cfg.epochs) \
+                if spe else 0
+        epoch = start_epoch
+        if verbose and epoch:
+            print(f"Resuming at epoch {epoch + 1}/{cfg.epochs} "
+                  f"(step {int(state.step)})")
         stop = False
         while epoch < cfg.epochs and not stop:
             # epochs until the next eval boundary (eval after epochs e with
@@ -478,7 +497,15 @@ class Trainer:
                         self.train_epoch(state, dataset, e, verbose=verbose))
                     if param_stats_fn is not None and verbose:
                         param_stats_fn(state.params, e)
-            epoch += chunk
+            prev_epoch, epoch = epoch, epoch + chunk
+            if checkpoint_dir is not None and checkpoint_every and (
+                    epoch // checkpoint_every > prev_epoch // checkpoint_every
+                    or epoch == cfg.epochs):
+                from .checkpoint import (save_checkpoint,
+                                         save_checkpoint_async)
+                (save_checkpoint_async if checkpoint_async
+                 else save_checkpoint)(checkpoint_dir, state, tag="last",
+                                       backend=checkpoint_backend)
             if epoch % cfg.eval_every == 0 or epoch == cfg.epochs:
                 ev = self.evaluate(state, dataset)
                 stats_list[-1]["test_acc"] = ev["acc"]

@@ -422,3 +422,39 @@ def test_async_checkpoint_roundtrip_and_isolation(key, tmp_path):
     restore_state(state4, str(tmp_path / "b"), tag="best")
     ev = trainer.evaluate(state4, ds)
     assert abs(ev["acc"] - result["best_acc"]) < 1e-6
+
+
+def test_periodic_checkpoint_and_epoch_resume(key, tmp_path):
+    """Fault tolerance: checkpoint_every saves a rolling 'last' checkpoint;
+    a restarted fit() derives the completed-epoch count from the restored
+    step and continues from there (not from scratch)."""
+    from cnn_pde_tpu.train.checkpoint import load_checkpoint
+
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=8, synthetic_test_per_class=3)
+    model = MNISTClassifier()
+    cfg = TrainConfig(epochs=4, batch_size=16, eval_every=1, log_every=10**9)
+    trainer = Trainer(model, cfg, lambda s: 1e-3)
+
+    # full uninterrupted run, for the expected final step count
+    full = trainer.init_state(key, None)
+    trainer.fit(full, ds, verbose=False)
+    total_steps = int(full.step)
+
+    # "crashed" run: stop after 2 of 4 epochs, saving 'last' each epoch
+    cfg2 = TrainConfig(epochs=2, batch_size=16, eval_every=1,
+                       log_every=10**9)
+    crashed = Trainer(model, cfg2, lambda s: 1e-3)
+    state = crashed.init_state(key, None)
+    crashed.fit(state, ds, verbose=False, checkpoint_dir=str(tmp_path),
+                checkpoint_every=1)
+    assert load_checkpoint(str(tmp_path), tag="last")["step"] == int(state.step)
+    half_steps = int(state.step)
+    assert 0 < half_steps < total_steps
+
+    # restart with the full 4-epoch config: resumes at epoch 3
+    state2 = trainer.init_state(jax.random.PRNGKey(99), None)
+    restore_state(state2, str(tmp_path), tag="last")
+    result = trainer.fit(state2, ds, verbose=False)
+    assert int(state2.step) == total_steps          # only 2 more epochs ran
+    assert len(result["history"]) == 2              # not 4
