@@ -6,6 +6,8 @@ from .losses import cross_entropy, hybrid_pde_regularization
 from .metrics import classification_report, confusion_matrix, per_class_accuracy
 from .optim import ParamGroup, build_optimizer
 from .schedules import constant, cosine_annealing, onecycle
+from .sinks import (CSVSink, JSONLSink, MetricsSink, MultiSink,
+                    TensorBoardSink, sink_from_path)
 
 __all__ = [
     "load_checkpoint",
@@ -25,4 +27,10 @@ __all__ = [
     "constant",
     "cosine_annealing",
     "onecycle",
+    "CSVSink",
+    "JSONLSink",
+    "MetricsSink",
+    "MultiSink",
+    "TensorBoardSink",
+    "sink_from_path",
 ]

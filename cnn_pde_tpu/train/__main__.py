@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--checkpoint-every", type=int, default=None,
                     help="also save a rolling 'last' checkpoint every N "
                          "epochs (fault tolerance; pairs with --resume)")
+    ap.add_argument("--metrics-out", default=None,
+                    help="stream per-epoch metrics to this path "
+                         "(.jsonl/.csv; a directory means TensorBoard)")
     ap.add_argument("--debug-nans", action="store_true",
                     help="jax_debug_nans: re-run the offending op eagerly "
                          "and raise at the first NaN (slow; debugging only)")
@@ -134,13 +137,22 @@ def main():
             print(f"  {name}: μ={s['mean']:.3f} σ={s['std']:.3f} "
                   f"range=[{s['min']:.3f}, {s['max']:.3f}]")
 
+    sink = None
+    if args.metrics_out:
+        from .sinks import sink_from_path
+
+        sink = sink_from_path(args.metrics_out)
     t0 = time.time()
-    result = trainer.fit(state, dataset, verbose=not args.quiet,
-                         checkpoint_dir=args.checkpoint_dir,
-                         checkpoint_backend=args.checkpoint_backend,
-                         checkpoint_async=args.async_checkpoint,
-                         checkpoint_every=args.checkpoint_every,
-                         param_stats_fn=stats_fn)
+    try:
+        result = trainer.fit(state, dataset, verbose=not args.quiet,
+                             checkpoint_dir=args.checkpoint_dir,
+                             checkpoint_backend=args.checkpoint_backend,
+                             checkpoint_async=args.async_checkpoint,
+                             checkpoint_every=args.checkpoint_every,
+                             param_stats_fn=stats_fn, metrics_sink=sink)
+    finally:
+        if sink is not None:
+            sink.close()
     print(json.dumps({
         "preset": preset.name,
         "best_acc": result["best_acc"],

@@ -444,7 +444,7 @@ class Trainer:
     def fit(self, state: TrainState, dataset, *, verbose=True,
             checkpoint_dir=None, checkpoint_backend="pickle",
             checkpoint_async=False, checkpoint_every=None,
-            start_epoch=None, param_stats_fn=None):
+            start_epoch=None, param_stats_fn=None, metrics_sink=None):
         """Full training run with eval cadence, best-acc tracking, early
         stopping and optional best-model checkpointing (the reference's only
         checkpoint: emotion_recognition.py:359-363).
@@ -462,7 +462,12 @@ class Trainer:
         (restored by checkpoint.restore_state) and the dataset's
         steps-per-epoch, so a killed run restarted with --resume continues
         from the first uncompleted epoch with schedule/optimizer state
-        intact."""
+        intact.
+
+        ``metrics_sink`` (train.sinks.MetricsSink) receives each epoch
+        record — the history dict plus a 1-based 'epoch' key, with
+        'test_acc' already attached on eval epochs — flushed as soon as the
+        epoch's numbers exist; the caller owns close()."""
         cfg = self.config
         best_acc, patience_count = 0.0, 0
         history = []
@@ -528,6 +533,9 @@ class Trainer:
                     if verbose:
                         print(f"Early stopping at epoch {epoch}")
                     stop = True
+            if metrics_sink is not None:
+                for i, rec in enumerate(stats_list):
+                    metrics_sink.log({"epoch": prev_epoch + i + 1, **rec})
             history.extend(stats_list)
         if checkpoint_async and checkpoint_dir is not None:
             from .checkpoint import wait_for_checkpoints
