@@ -11,6 +11,8 @@ from .multihost import initialize, is_multihost, local_batch_slice
 from .spatial import (adi_strang_step_spatial, ftcs_evolve_spatial,
                       laplacian_step_spatial)
 from .spatial_model import SpatialFTCSClassifier
+from .tensor_parallel import (make_tp_train_step, replicated_like,
+                              shard_pytree, tp_param_specs)
 
 __all__ = [
     "adi_strang_step_partitioned",
@@ -30,4 +32,8 @@ __all__ = [
     "ftcs_evolve_spatial",
     "laplacian_step_spatial",
     "SpatialFTCSClassifier",
+    "make_tp_train_step",
+    "replicated_like",
+    "shard_pytree",
+    "tp_param_specs",
 ]

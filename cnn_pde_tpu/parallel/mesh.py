@@ -20,17 +20,21 @@ __all__ = ["make_mesh", "dp_shardings", "P", "NamedSharding"]
 
 
 def make_mesh(data: Optional[int] = None, spatial: int = 1,
-              devices=None) -> Mesh:
-    """Mesh with ('data', 'spatial') axes.  data=None uses all devices / spatial.
-    With spatial=1 this is a pure-DP mesh."""
+              model: int = 1, devices=None) -> Mesh:
+    """Mesh with ('data', 'spatial', 'model') axes.  data=None uses all
+    devices / (spatial·model).  With spatial=model=1 this is a pure-DP mesh;
+    'model' is the tensor-parallel axis (see tensor_parallel.py).  Size-1
+    axes are free: shard_map/PartitionSpec users that never name them see
+    identical behavior."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data is None:
-        assert n % spatial == 0, (n, spatial)
-        data = n // spatial
-    assert data * spatial <= n, (data, spatial, n)
-    grid = np.asarray(devices[: data * spatial]).reshape(data, spatial)
-    return Mesh(grid, ("data", "spatial"))
+        assert n % (spatial * model) == 0, (n, spatial, model)
+        data = n // (spatial * model)
+    assert data * spatial * model <= n, (data, spatial, model, n)
+    grid = np.asarray(devices[: data * spatial * model]).reshape(
+        data, spatial, model)
+    return Mesh(grid, ("data", "spatial", "model"))
 
 
 def dp_shardings(mesh: Mesh):

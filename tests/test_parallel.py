@@ -25,9 +25,9 @@ pytestmark = pytest.mark.skipif(
 
 def test_mesh_shapes():
     m = make_mesh(spatial=1)
-    assert m.devices.shape == (8, 1)
+    assert m.devices.shape == (8, 1, 1)
     m2 = make_mesh(data=2, spatial=4)
-    assert m2.devices.shape == (2, 4)
+    assert m2.devices.shape == (2, 4, 1)
 
 
 def test_ftcs_spatial_matches_unsharded(rng):

@@ -273,7 +273,15 @@ def main():
     ap.add_argument("--epochs", type=int, default=5)
     ap.add_argument("--train-per-class", type=int, default=40)
     ap.add_argument("--test-per-class", type=int, default=10)
+    ap.add_argument("--platform", default=None,
+                    help="force the jax platform for OUR side (e.g. 'cpu' "
+                    "when the TPU tunnel is down; accuracy is platform-"
+                    "independent). Must be set before first jax use.")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     if not os.path.isdir(REF):
         print("reference mount absent; nothing to compare")
