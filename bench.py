@@ -44,6 +44,13 @@ def main():
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--quick", action="store_true", help="fewer timing iters")
+    ap.add_argument("--platform", default=None,
+                    help="force the jax platform (e.g. 'cpu' for a smoke "
+                    "run off-TPU); default: the environment's device")
+    ap.add_argument("--probe-timeout", type=float, default=900.0,
+                    help="seconds to wait for the device platform before "
+                    "emitting an error JSON instead of hanging (the axon "
+                    "tunnel can stall indefinitely under pool congestion)")
     amp_group = ap.add_mutually_exclusive_group()
     amp_group.add_argument(
         "--amp", dest="amp", action="store_true", default=True,
@@ -59,6 +66,35 @@ def main():
         args.iters = 5
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    else:
+        # Probe device availability in a TIME-BOUNDED subprocess before any
+        # in-process backend init: a stalled remote tunnel makes
+        # jax.devices() hang forever, which would leave the driver's bench
+        # record empty.  A probe failure emits a self-describing error JSON
+        # (rc 1) instead.
+        import subprocess
+        import sys
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=args.probe_timeout)
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print(json.dumps({
+                "metric": "cifar10_train_images_per_sec_per_chip",
+                "value": None, "unit": "images/sec", "vs_baseline": None,
+                "error": "device platform unreachable (probe timed out "
+                         f"after {args.probe_timeout:.0f}s — remote tunnel "
+                         "down/congested); no measurement taken",
+            }))
+            sys.exit(1)
+
     import jax.numpy as jnp
     import numpy as np
 

@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all visible devices")
+    ap.add_argument("--tp", type=int, default=1, metavar="N",
+                    help="tensor-parallel the FC stacks over N devices "
+                         "(Megatron column/row over the mesh's 'model' "
+                         "axis); remaining devices form the 'data' axis, "
+                         "so --tp composes with --dp")
     ap.add_argument("--native-loader", action="store_true",
                     help="use the C++ prefetching batcher")
     ap.add_argument("--device-epoch", action="store_true",
@@ -113,12 +118,14 @@ def main():
                                       max_steps_per_epoch=args.steps)
     augment_fn = build_augment_fn(preset.augment)
     mesh = None
-    if args.dp:
+    if args.dp or args.tp > 1:
         from ..parallel import make_mesh
 
-        mesh = make_mesh(spatial=1)
-        print(f"Data parallel over {mesh.devices.size} devices")
-    trainer = Trainer(model, config, schedule, augment_fn=augment_fn, mesh=mesh)
+        mesh = make_mesh(model=args.tp)
+        print(f"Mesh: data={mesh.shape['data']} x model={mesh.shape['model']}"
+              f" ({mesh.devices.size} devices)")
+    trainer = Trainer(model, config, schedule, augment_fn=augment_fn,
+                      mesh=mesh, tp=args.tp > 1)
 
     state = trainer.init_state(jax.random.PRNGKey(args.seed), None)
     if args.resume and args.checkpoint_dir:

@@ -75,19 +75,26 @@ class TrainState:
 
 class Trainer:
     def __init__(self, model: Module, config: TrainConfig, schedule,
-                 augment_fn: Optional[Callable] = None, mesh=None):
+                 augment_fn: Optional[Callable] = None, mesh=None, tp=False):
         """augment_fn(rng, images) -> images, applied on device inside the
         jit'd train step (train batches only).
 
         mesh: optional jax.sharding.Mesh with a 'data' axis — enables
         data-parallel training (batch sharded, params replicated, gradient
         all-reduce inserted by XLA).  The reference is single-device
-        (SURVEY.md §2.6); this is the drop-in DP upgrade."""
+        (SURVEY.md §2.6); this is the drop-in DP upgrade.
+
+        tp: with a mesh whose 'model' axis is >1, additionally shard the FC
+        stacks Megatron column/row-parallel over that axis
+        (parallel/tensor_parallel.py::tp_param_specs); PDE coefficients and
+        everything too small to split stay replicated.  Composes with DP on
+        the same mesh (batch over 'data', FC weights over 'model')."""
         self.model = model
         self.config = config
         self.schedule = schedule
         self.augment_fn = augment_fn
         self.mesh = mesh
+        self.tp = bool(tp)
         self._train_step = None
         self._eval_step = None
         self._epoch_fn = None
@@ -102,8 +109,38 @@ class Trainer:
     def init_state(self, key, sample_batch) -> TrainState:
         params, model_state = self.model.init(key)
         opt = self._optimizer(params)
-        opt_state = opt.init(params)
+        if self.mesh is not None and self.tp:
+            # Commit the TP layout up front; opt state init'd under jit
+            # inherits the param shardings (moments shard with their params).
+            from ..parallel.tensor_parallel import (replicated_like,
+                                                    shard_pytree,
+                                                    tp_param_specs)
+
+            specs = tp_param_specs(params, self.mesh)
+            params = shard_pytree(self.mesh, params, specs)
+            model_state = replicated_like(self.mesh, model_state)
+            opt_state = jax.jit(opt.init)(params)
+        else:
+            opt_state = opt.init(params)
         return TrainState(params, model_state, opt_state)
+
+    def _param_sharding(self, params_example):
+        """In/out sharding for the params argument: replicated under pure
+        DP; the tp_param_specs pytree (FC stacks column/row over 'model')
+        when tp=True."""
+        from ..parallel.mesh import dp_shardings
+
+        _, rep_s = dp_shardings(self.mesh)
+        if not self.tp:
+            return rep_s
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.tensor_parallel import tp_param_specs
+
+        specs = tp_param_specs(params_example, self.mesh)
+        return jax.tree_util.tree_map(
+            lambda s: NamedSharding(self.mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, PartitionSpec))
 
     def _optimizer(self, params):
         return build_optimizer(
@@ -152,10 +189,16 @@ class Trainer:
             from ..parallel.mesh import dp_shardings
 
             batch_s, rep_s = dp_shardings(self.mesh)
+            param_s = self._param_sharding(params_example)
+            # Under TP the opt state's sharding is whatever opt.init
+            # inherited from the committed params (moments shard with their
+            # params) — leave it unspecified so jit picks it up as-is.
+            opt_s = None if self.tp else rep_s
             jitted = jax.jit(
                 train_step,
-                in_shardings=(rep_s, rep_s, rep_s, None, batch_s, batch_s, None),
-                out_shardings=(rep_s, rep_s, rep_s, rep_s, rep_s),
+                in_shardings=(param_s, rep_s, opt_s, None, batch_s, batch_s,
+                              None),
+                out_shardings=(param_s, rep_s, opt_s, rep_s, rep_s),
                 donate_argnums=(0, 1, 2),
             )
         else:
@@ -211,10 +254,12 @@ class Trainer:
             from ..parallel.mesh import dp_shardings
 
             _, rep_s = dp_shardings(self.mesh)
+            param_s = self._param_sharding(params_example)
+            opt_s = None if self.tp else rep_s
             return jax.jit(epoch_fn, donate_argnums=(0, 1, 2),
-                           in_shardings=(rep_s, rep_s, rep_s, None,
+                           in_shardings=(param_s, rep_s, opt_s, None,
                                          rep_s, rep_s, rep_s, None),
-                           out_shardings=(rep_s,) * 4)
+                           out_shardings=(param_s, rep_s, opt_s, rep_s))
         return jax.jit(epoch_fn, donate_argnums=(0, 1, 2))
 
     def _device_train_arrays(self, dataset):
@@ -406,8 +451,9 @@ class Trainer:
                 from ..parallel.mesh import dp_shardings
 
                 _, rep_s = dp_shardings(mesh)
+                param_s = self._param_sharding(state.params)
                 self._eval_epoch_fn = jax.jit(
-                    eval_epoch, in_shardings=(rep_s, rep_s, rep_s),
+                    eval_epoch, in_shardings=(param_s, rep_s, rep_s),
                     out_shardings=rep_s)
             else:
                 self._eval_epoch_fn = jax.jit(eval_epoch)

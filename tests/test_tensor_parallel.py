@@ -194,6 +194,43 @@ def test_tp_dp_flagship_train_step(key):
             p["classifier"]["0"]["w"].addressable_shards} == {(96, 128)}
 
 
+def test_trainer_tp_matches_single_device(key):
+    """Trainer(mesh=, tp=True): one device-epoch on MNIST under DP x TP must
+    track the single-device trainer (same seed/shuffle/rng streams) — loss
+    to reduction-order noise, params loosely (AdamW amplifies noise on
+    low-gradient params), and the TP layout must actually be committed."""
+    from cnn_pde_tpu.data import load_dataset
+    from cnn_pde_tpu.models import MNISTClassifier
+    from cnn_pde_tpu.train import TrainConfig, Trainer
+
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=10, synthetic_test_per_class=2)
+    model = MNISTClassifier(dropout_rate=0.0)
+
+    def run(mesh, tp):
+        cfg = TrainConfig(epochs=1, batch_size=16, log_every=10**9,
+                          device_epoch=True)
+        trainer = Trainer(model, cfg, lambda s: 1e-3, mesh=mesh, tp=tp)
+        state = trainer.init_state(key, None)
+        stats = trainer.train_epoch(state, ds, 0, verbose=False)
+        ev = trainer.evaluate(state, ds)
+        return state, stats, ev
+
+    s_ref, h_ref, ev_ref = run(None, False)
+    mesh = make_mesh(data=2, model=4)
+    s_tp, h_tp, ev_tp = run(mesh, True)
+    assert s_ref.step == s_tp.step == 6
+    assert abs(h_ref["loss"] - h_tp["loss"]) < 1e-3
+    # the wide Linear really is column-sharded over the 4-way 'model' axis
+    w = s_tp.params["head"]["2"]["w"]  # (784, 256)
+    assert {s.data.shape for s in w.addressable_shards} == {(784, 64)}
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-4)
+    assert abs(ev_ref["acc"] - ev_tp["acc"]) <= 5.0 + 1e-9
+
+
 def test_make_mesh_three_axes_backcompat():
     m = make_mesh(spatial=1)
     assert m.axis_names == ("data", "spatial", "model")
