@@ -74,24 +74,19 @@ def main():
         # in-process backend init: a stalled remote tunnel makes
         # jax.devices() hang forever, which would leave the driver's bench
         # record empty.  A probe failure emits a self-describing error JSON
-        # (rc 1) instead.
-        import subprocess
+        # (rc 1) instead; the detail distinguishes timeout (congestion) from
+        # platform-init failure (e.g. libtpu mismatch, with the stderr line).
         import sys
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print(len(jax.devices()))"],
-                capture_output=True, text=True, timeout=args.probe_timeout)
-            ok = probe.returncode == 0
-        except subprocess.TimeoutExpired:
-            ok = False
+
+        from cnn_pde_tpu.utils.devprobe import probe_devices
+
+        ok, detail = probe_devices(timeout=args.probe_timeout)
         if not ok:
             print(json.dumps({
                 "metric": "cifar10_train_images_per_sec_per_chip",
                 "value": None, "unit": "images/sec", "vs_baseline": None,
-                "error": "device platform unreachable (probe timed out "
-                         f"after {args.probe_timeout:.0f}s — remote tunnel "
-                         "down/congested); no measurement taken",
+                "error": f"device platform unreachable ({detail}); "
+                         "no measurement taken",
             }))
             sys.exit(1)
 

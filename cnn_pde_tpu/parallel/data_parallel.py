@@ -15,7 +15,8 @@ from ..nn.core import Ctx
 from ..train.losses import cross_entropy
 from .mesh import dp_shardings
 
-__all__ = ["make_dp_train_step", "shard_batch", "replicate"]
+__all__ = ["make_dp_train_step", "make_train_step_body", "shard_batch",
+           "replicate"]
 
 
 def shard_batch(mesh, batch):
@@ -28,11 +29,12 @@ def replicate(mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
 
 
-def make_dp_train_step(model, optimizer, mesh, *, label_smoothing=0.1,
-                       regularizer=None, augment_fn=None):
-    """Returns jit'd step(params, model_state, opt_state, images, labels, rng)
-    with explicit in/out shardings over ``mesh``."""
-    batch_s, rep_s = dp_shardings(mesh)
+def make_train_step_body(model, optimizer, *, label_smoothing=0.1,
+                         regularizer=None, augment_fn=None):
+    """Unjitted step(params, model_state, opt_state, images, labels, rng) —
+    the ONE train-step body shared by the DP and TP step builders (which
+    differ only in how shardings are attached: explicit in/out_shardings
+    here vs committed-input GSPMD propagation in tensor_parallel.py)."""
 
     def step(params, model_state, opt_state, images, labels, rng):
         if augment_fn is not None:
@@ -52,6 +54,18 @@ def make_dp_train_step(model, optimizer, mesh, *, label_smoothing=0.1,
         new_params = optax.apply_updates(params, updates)
         return new_params, new_state, new_opt_state, loss
 
+    return step
+
+
+def make_dp_train_step(model, optimizer, mesh, *, label_smoothing=0.1,
+                       regularizer=None, augment_fn=None):
+    """Returns jit'd step(params, model_state, opt_state, images, labels, rng)
+    with explicit in/out shardings over ``mesh``."""
+    batch_s, rep_s = dp_shardings(mesh)
+    step = make_train_step_body(model, optimizer,
+                                label_smoothing=label_smoothing,
+                                regularizer=regularizer,
+                                augment_fn=augment_fn)
     return jax.jit(
         step,
         in_shardings=(rep_s, rep_s, rep_s, batch_s, batch_s, rep_s),

@@ -30,11 +30,10 @@ Usage::
 from __future__ import annotations
 
 import jax
-import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..nn.core import Ctx
-from ..train.losses import cross_entropy
+from .data_parallel import make_train_step_body
+from .data_parallel import replicate as replicated_like  # same operation
 
 __all__ = ["tp_param_specs", "shard_pytree", "make_tp_train_step",
            "replicated_like"]
@@ -117,42 +116,22 @@ def shard_pytree(mesh, tree, specs):
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs)
 
 
-def replicated_like(mesh, tree):
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
-
-
 def make_tp_train_step(model, optimizer, mesh, *, label_smoothing=0.1,
                        regularizer=None, augment_fn=None):
     """jit'd step(params, model_state, opt_state, images, labels, rng) for a
     DP×TP mesh: batch sharded over 'data', FC params over 'model'.
 
-    Shardings ride on the *committed* inputs (shard_pytree/device_put), not
-    on explicit in_shardings — optimizer state initialized with
-    ``jax.jit(optimizer.init)(sharded_params)`` inherits the param layout,
-    and GSPMD propagates everything else (the row-parallel psum, the DP
-    gradient all-reduce, BN stat gathers)."""
+    Same step body as make_dp_train_step (data_parallel.py); only the
+    sharding mechanism differs.  Shardings ride on the *committed* inputs
+    (shard_pytree/device_put), not on explicit in_shardings — optimizer
+    state initialized with ``jax.jit(optimizer.init)(sharded_params)``
+    inherits the param layout, and GSPMD propagates everything else (the
+    row-parallel psum, the DP gradient all-reduce, BN stat gathers)."""
     batch_s = NamedSharding(mesh, P("data"))
-
-    def step(params, model_state, opt_state, images, labels, rng):
-        if augment_fn is not None:
-            rng, arng = jax.random.split(rng)
-            images = augment_fn(arng, images)
-
-        def loss_fn(p):
-            logits, new_state = model.apply(p, model_state, images,
-                                            Ctx(train=True, rng=rng))
-            loss = cross_entropy(logits, labels, label_smoothing)
-            if regularizer is not None:
-                loss = loss + regularizer(p)
-            return loss, new_state
-
-        (loss, new_state), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        return new_params, new_state, new_opt_state, loss
-
+    step = make_train_step_body(model, optimizer,
+                                label_smoothing=label_smoothing,
+                                regularizer=regularizer,
+                                augment_fn=augment_fn)
     jitted = jax.jit(step)
 
     def run(params, model_state, opt_state, images, labels, rng):

@@ -121,6 +121,11 @@ def main():
     if args.dp or args.tp > 1:
         from ..parallel import make_mesh
 
+        n_dev = len(jax.devices())
+        if args.tp < 1 or n_dev % args.tp != 0:
+            raise SystemExit(
+                f"--tp {args.tp} must be >=1 and divide the visible device "
+                f"count ({n_dev})")
         mesh = make_mesh(model=args.tp)
         print(f"Mesh: data={mesh.shape['data']} x model={mesh.shape['model']}"
               f" ({mesh.devices.size} devices)")

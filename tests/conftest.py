@@ -48,6 +48,7 @@ QUICK_TESTS = {
     "test_parallel.py::test_adi_partitioned_matches_unsharded[True]",
     "test_parallel.py::test_laplacian_spatial_matches_unsharded",
     "test_parallel.py::test_dp_train_step_matches_single_device",
+    "test_tensor_parallel.py::test_tp_step_matches_single_device",
     # golden parity per PDE layer family (float64 oracle)
     "test_pde_layers.py::test_grayscale_mnist_parity",
     "test_pde_layers.py::test_grayscale_fashion_parity",

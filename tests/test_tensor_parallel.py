@@ -11,7 +11,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-import pytest
 
 from cnn_pde_tpu.models.cifar10_noconv import CIFAR10PDENoConv, EnhancedFC
 from cnn_pde_tpu.nn.core import Ctx
@@ -52,8 +51,7 @@ def test_tp_specs_trivial_axis_is_fully_replicated(key):
         specs, is_leaf=lambda x: isinstance(x, type(P()))))
 
 
-@pytest.mark.quick
-def test_tp_step_matches_single_device(key):
+def test_tp_step_matches_single_device(key):  # quick tier: see conftest.py
     """3 TP train steps on a data=2 × model=4 mesh must reproduce the
     single-device trajectory (loss + params) to f32 reduction-order
     tolerance — the psum/all-reduce only changes summation order.
