@@ -229,6 +229,25 @@ def test_trainer_tp_matches_single_device(key):
     assert abs(ev_ref["acc"] - ev_tp["acc"]) <= 5.0 + 1e-9
 
 
+def test_tp_serving_matches_replicated(key):
+    """serve.make_predict_fn with TP-committed params (closure constants
+    keep their committed shardings) must reproduce the replicated-params
+    predictions — TP serving needs no serve.py changes, just shard_pytree
+    before building the predict fn."""
+    from cnn_pde_tpu.serve import make_predict_fn
+
+    model = _fc_model()
+    params, mstate = model.init(key)
+    x = jnp.asarray(np.random.default_rng(11).random((16, 96), np.float32))
+    ref = make_predict_fn(model, params, mstate)(x)
+
+    mesh = make_mesh(data=2, model=4)
+    p = shard_pytree(mesh, params, tp_param_specs(params, mesh))
+    out = make_predict_fn(model, p, mstate, mesh=mesh)(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_make_mesh_three_axes_backcompat():
     m = make_mesh(spatial=1)
     assert m.axis_names == ("data", "spatial", "model")
