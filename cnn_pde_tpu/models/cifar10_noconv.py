@@ -49,6 +49,11 @@ class MultiScaleExtractor(Module):
         # dtype/eps/clamp follow the branch layers' settings (enable_amp
         # sets bf16).
         self.lockstep_hoisted = False
+        # branch_sharding: NamedSharding for the stacked (B, K, C, H, W)
+        # state — BRANCH PARALLELISM over a mesh axis (each device evolves
+        # only its branches; zero collectives inside the scan).  Set via
+        # parallel.enable_branch_parallel; implies the lockstep path.
+        self.branch_sharding = None
         self.pdes = [
             MixedChannelDiffusion(input_size, channels, splitting="strang",
                                   fused=fused_pde, **scale)
@@ -68,7 +73,7 @@ class MultiScaleExtractor(Module):
 
     def apply(self, params, state, x, ctx):
         new_state = dict(state)
-        if self.lockstep_hoisted:
+        if self.lockstep_hoisted or self.branch_sharding is not None:
             from ..pde.fused_multiscale import hoisted_lockstep_evolve
 
             stacked = hoisted_lockstep_evolve(
@@ -78,7 +83,8 @@ class MultiScaleExtractor(Module):
                 dxs=[s["dx"] for s in self._SCALES],
                 dys=[s["dy"] for s in self._SCALES],
                 eps=self.pdes[0].eps, clamp_max=self.pdes[0].clamp_max,
-                operator_dtype=self.pdes[0].operator_dtype)
+                operator_dtype=self.pdes[0].operator_dtype,
+                branch_sharding=self.branch_sharding)
             branch_feats = [stacked[:, i] for i in range(3)]
         elif self.fused:
             from ..pde.fused_multiscale import fused_multiscale_evolve

@@ -11,6 +11,7 @@ from .multihost import initialize, is_multihost, local_batch_slice
 from .spatial import (adi_strang_step_spatial, ftcs_evolve_spatial,
                       laplacian_step_spatial)
 from .spatial_model import SpatialFTCSClassifier
+from .branch_parallel import enable_branch_parallel
 from .tensor_parallel import (make_tp_train_step, replicated_like,
                               shard_pytree, tp_param_specs)
 
@@ -32,6 +33,7 @@ __all__ = [
     "ftcs_evolve_spatial",
     "laplacian_step_spatial",
     "SpatialFTCSClassifier",
+    "enable_branch_parallel",
     "make_tp_train_step",
     "replicated_like",
     "shard_pytree",

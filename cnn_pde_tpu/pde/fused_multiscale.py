@@ -143,7 +143,8 @@ def _lockstep_neumann_b(r):
 
 def hoisted_lockstep_evolve(u, branch_params, *, dts, steps_list, dxs, dys,
                             eps=1e-6, clamp_max=10.0,
-                            operator_dtype=jnp.float32):
+                            operator_dtype=jnp.float32,
+                            branch_sharding=None):
     """All K branches' Strang evolutions in lockstep with PRECOMPUTED sweep
     operators: state (B, K, C, H, W), 3·max(steps) sequential stacked-matmul
     sweeps.  Returns (B, K, C, H, W).
@@ -151,6 +152,15 @@ def hoisted_lockstep_evolve(u, branch_params, *, dts, steps_list, dxs, dys,
     Activations match the sequential hoisted path on active steps (identical
     bands; X rounding may differ at operator-dtype ties) and the default
     per-sweep path at ~1e-6 (f32 operators).
+
+    ``branch_sharding``: optional NamedSharding for the stacked state
+    (e.g. P(None, 'model') over the K axis) — BRANCH PARALLELISM.  The K
+    axis is purely batched through the whole scan (channel mixing reduces
+    over C, sweeps over H/W; K never mixes), so sharding it needs ZERO
+    collectives inside the evolution; each device runs only its branches'
+    24 stacked sweeps instead of the 51 a sequential single-device forward
+    pays, and the one all-gather happens after the scan when the combine
+    reads all branches.  See parallel/branch_parallel.py.
     """
     from ..ops.adi import apply_sweep, apply_sweep_y
     from ..ops.tridiag import tridiag_inverse_operator
@@ -205,6 +215,20 @@ def hoisted_lockstep_evolve(u, branch_params, *, dts, steps_list, dxs, dys,
 
     U = jnp.broadcast_to(u[:, None], (B, K, C, H, W))
 
+    if branch_sharding is not None:
+        # Pin the branch layout on the carry AND the per-step operator
+        # stacks (K is dim 1 of the scan slices), so GSPMD keeps every
+        # sweep local to its branch's devices instead of gathering.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh_ = branch_sharding.mesh
+        k_axis = branch_sharding.spec[1]
+        ops_s = lambda nd: NamedSharding(
+            mesh_, PartitionSpec(None, k_axis, *([None] * (nd - 2))))
+        U = lax.with_sharding_constraint(U, branch_sharding)
+        xs = jax.tree_util.tree_map(
+            lambda x: lax.with_sharding_constraint(x, ops_s(x.ndim)), xs)
+
     def step(U, x):
         m, ox0, oyt, ox1 = x
         # per-branch channel mixing as broadcast multiply-reduce
@@ -212,6 +236,8 @@ def hoisted_lockstep_evolve(u, branch_params, *, dts, steps_list, dxs, dys,
         U = apply_sweep(ox0, U)
         U = apply_sweep_y(oyt, U)
         U = apply_sweep(ox1, U)
+        if branch_sharding is not None:
+            U = lax.with_sharding_constraint(U, branch_sharding)
         return U, None
 
     U, _ = lax.scan(step, U, xs)
