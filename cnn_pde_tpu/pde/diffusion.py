@@ -34,6 +34,7 @@ from jax import lax
 
 from ..nn.core import Module
 from ..ops.adi import apply_sweep, apply_sweep_y, sweep_operator, sweep_x, sweep_y
+from .linearize import linearized_apply
 
 __all__ = ["GrayscaleDiffusion", "ChannelCoupledDiffusion", "MixedChannelDiffusion"]
 
@@ -201,6 +202,9 @@ class GrayscaleDiffusion(Module):
         return params, {}
 
     def apply(self, params, state, u, ctx):
+        lin = linearized_apply(self, params, state, u, ctx)
+        if lin is not None:
+            return lin, state
         x = u[:, 0]  # squeeze channel (mnist_test.py:46)
         ts = _substep_times(self.dt, self.num_steps)
 
@@ -314,6 +318,9 @@ class ChannelCoupledDiffusion(Module):
         return params, {}
 
     def apply(self, params, state, u, ctx):
+        lin = linearized_apply(self, params, state, u, ctx)
+        if lin is not None:
+            return lin, state
         u0 = u
         ts = _substep_times(self.dt, self.num_steps)
 
@@ -428,6 +435,9 @@ class MixedChannelDiffusion(Module):
         return jnp.sum(m[:, :, None, None] * u[:, None, :, :, :], axis=2)
 
     def apply(self, params, state, u, ctx):
+        lin = linearized_apply(self, params, state, u, ctx)
+        if lin is not None:
+            return lin, state
         eps, cmax = self.eps, self.clamp_max
         ts = _substep_times(self.dt, self.num_steps)
 

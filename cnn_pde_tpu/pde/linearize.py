@@ -1,0 +1,129 @@
+"""Full-evolution linearization for frozen-params serving.
+
+Every PDE front-end layer in this framework is LINEAR in its input ``u``:
+the learnable clamps/sigmoids/smoothing act on COEFFICIENTS (params), never
+on activations — the implicit ADI sweeps, channel mixing/coupling, the
+sigmoid skip blend (affine in (u0, u)), the frozen-ring FTCS stencil and the
+damped conv-Laplacian residual step are all linear maps of the layer input
+(reference counterparts: mnist_test.py:44-65, SVHN.py:68-86, cifar10.py:74-114,
+emotion_recognition.py:82-97, tiny_imagenet.py:34-51 — none applies a
+nonlinearity to u).
+
+So with frozen params the ENTIRE multi-step evolution composes into one dense
+(D, D) matrix, D = C·H·W, and serving replaces the 2·steps(+1) sequential
+sweep solves per layer with ONE MXU matmul ``u.reshape(B, D) @ M``.  The
+matrix is built by evolving the identity basis — a batch of D one-hot images
+— through the layer's own forward code (columns of M are L(e_i)), so every
+variant quirk (Strang vs Lie order, eps placement, time bookkeeping, skip
+blend) is baked in by construction, not re-derived.
+
+This is training-USELESS (params change every step, and rebuilding M costs a
+batch-D forward) but serving-optimal; like ``serve.cache_hoisted_operators``
+it is an explicit frozen-params mode: training with a pinned ``linear_cache``
+raises.
+
+Numerics: M is composed in f32 through the layer's exact forward; applying it
+reorders the f32 accumulation of the sequential path, so outputs agree to
+~1e-5 relative (f32 reassociation over D-term sums), not bitwise.  On TPU the
+(B, D) @ (D, D) matmul runs at DEFAULT precision (bf16-pass MXU) by default —
+the same half-precision serving grade as ``enable_amp``; pass
+``precision='highest'`` to ``serve.linearize_pde_layers`` for f32-exact
+passes.  Not on the exact-parity surface (which stays the sequential f32 PCR
+path); CLAUDE.md's HIGHEST-precision invariant governs the parity surface,
+and this path is gated behind an explicit serving opt-in.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ["capture_linearized", "linearized_apply", "iter_linear_pde_layers"]
+
+_LINEAR_CAPTURE = None
+
+
+class _Capture:
+    def __init__(self, max_dim):
+        self.max_dim = max_dim
+        self.items = []    # [(layer, traced (D, D) matrix)]
+        self.skipped = []  # [(layer, D)] — over max_dim, left sequential
+
+
+@contextmanager
+def capture_linearized(max_dim=4096):
+    """Trace-time capture of composed evolution matrices (the analogue of
+    ``diffusion.capture_operators``).  While active, every linearizable PDE
+    layer with D = C·H·W ≤ max_dim appends ``(layer, M)`` to the yielded
+    capture instead of running its sequential evolution on the probe input;
+    under jit the matrices are tracers the probe returns to materialize."""
+    global _LINEAR_CAPTURE
+    prev, cap = _LINEAR_CAPTURE, _Capture(max_dim)
+    _LINEAR_CAPTURE = cap
+    try:
+        yield cap
+    finally:
+        _LINEAR_CAPTURE = prev
+
+
+def _apply_mat(u, mat, precision):
+    B = u.shape[0]
+    out = lax.dot(u.reshape(B, -1), mat.astype(u.dtype), precision=precision)
+    return out.reshape(u.shape)
+
+
+def linearized_apply(layer, params, state, u, ctx):
+    """Layer-entry hook: returns the linearized output, or None to proceed
+    with the normal sequential evolution.
+
+    * ``layer.linear_cache`` pinned (serve.linearize_pde_layers): apply the
+      composed matrix — one matmul.  Training with a cache pinned raises,
+      exactly like ``operator_cache`` (the matrix carries no gradient path
+      and goes stale the moment params change).
+    * inside ``capture_linearized``: build the matrix by evolving the
+      identity basis through the layer's OWN apply (capture suspended for
+      the recursion), record it, and return its application to the probe
+      input.
+    """
+    mat = getattr(layer, "linear_cache", None)
+    if mat is not None:
+        if ctx is not None and ctx.train:
+            raise ValueError(
+                "linear_cache is pinned on this layer (frozen-params "
+                "linearized serving) but apply() was called with "
+                "ctx.train=True; serve.clear_linear_cache(model) before "
+                "training")
+        return _apply_mat(u, mat, getattr(layer, "linear_precision", None))
+
+    global _LINEAR_CAPTURE
+    cap = _LINEAR_CAPTURE
+    if cap is None or (ctx is not None and ctx.train):
+        return None
+    D = int(np.prod(u.shape[1:]))
+    if D > cap.max_dim:
+        cap.skipped.append((layer, D))
+        return None
+    _LINEAR_CAPTURE = None  # suspend: the basis evolution must run sequential
+    try:
+        basis = jnp.eye(D, dtype=u.dtype).reshape((D,) + u.shape[1:])
+        out_basis, _ = layer.apply(params, state, basis, ctx)
+        mat = out_basis.reshape(D, D)  # rows: input basis i; cols: output j
+    finally:
+        _LINEAR_CAPTURE = cap
+    cap.items.append((layer, mat))
+    return _apply_mat(u, mat, getattr(layer, "linear_precision", None))
+
+
+def iter_linear_pde_layers(module):
+    """Yield every linearizable PDE layer reachable from ``module``
+    (the ADI diffusion variants + FTCS spectral + residual conv-Laplacian;
+    the Ruthotto blocks are σ(BN(K·Y))-nonlinear and excluded)."""
+    from .amp import _ADI_CLASSES, iter_modules
+    from .residual import ResidualDiffusion
+    from .spectral import FourierFTCSLayer
+
+    return iter_modules(
+        module, _ADI_CLASSES + (FourierFTCSLayer, ResidualDiffusion))

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..nn.core import Module
 from ..ops.adi import sweep_x, sweep_y
 from ..ops.stencil import laplacian_step
+from .linearize import linearized_apply
 
 __all__ = ["ResidualDiffusion"]
 
@@ -46,6 +47,9 @@ class ResidualDiffusion(Module):
         return params, {}
 
     def apply(self, params, state, u, ctx):
+        lin = linearized_apply(self, params, state, u, ctx)
+        if lin is not None:
+            return lin, state
         for _ in range(self.num_steps):
             alpha_eff = jnp.clip(params["alpha_base"], self.eps, self.max_coeff)
             u_scaled = u * params["channel_scaling"][None, :, None, None]

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ..nn.core import Module
 from ..ops.stencil import ftcs_evolve
+from .linearize import linearized_apply
 
 __all__ = ["FourierFTCSLayer"]
 
@@ -56,6 +57,9 @@ class FourierFTCSLayer(Module):
         return alpha, beta
 
     def apply(self, params, state, u, ctx):
+        lin = linearized_apply(self, params, state, u, ctx)
+        if lin is not None:
+            return lin, state
         x = u[:, 0]  # (B, Nx, Ny)
         alpha, beta = self.coefficient_grids(params)
         out = ftcs_evolve(x, alpha, beta, self.Nt)

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from .nn.core import Ctx
 
 __all__ = ["make_predict_fn", "cache_hoisted_operators",
-           "clear_operator_cache", "export_model", "load_exported"]
+           "clear_operator_cache", "linearize_pde_layers",
+           "clear_linear_cache", "export_model", "load_exported"]
 
 
 def make_predict_fn(model, params, state, output="logits", mesh=None):
@@ -87,6 +88,59 @@ def cache_hoisted_operators(model, params, state, sample_images):
     for (lay, _), xs in zip(cap, concrete):
         lay.operator_cache = xs
     return len(cap)
+
+
+def linearize_pde_layers(model, params, state, sample_images, max_dim=4096,
+                         precision=None):
+    """Frozen-params serving: collapse each linear PDE layer's ENTIRE
+    multi-step evolution into one composed (D, D) matrix, D = C·H·W.
+
+    Every PDE front-end layer here is linear in u (pde/linearize.py
+    docstring — clamps/sigmoids act on params, never activations), so with
+    frozen params the whole sequential sweep chain is one matmul.  The
+    matrix is built by evolving the identity basis through the layer's own
+    forward (every variant quirk baked in by construction); layers with
+    D > max_dim are left sequential (e.g. Tiny-ImageNet's 64·64·3 = 12288
+    would be a 604 MB matrix for a front-end that costs ~0.3 ms).
+
+    ``precision``: lax precision for the serving matmul (None = DEFAULT =
+    bf16-pass MXU, the same AMP serving grade as ``enable_amp``;
+    'highest' for f32-exact passes).  Numerics vs the sequential path:
+    ~1e-5 relative f32 reassociation at HIGHEST, bf16 scale at DEFAULT.
+
+    Composes with ``cache_hoisted_operators``: if operator caches are
+    pinned, the composed matrix bakes in their (possibly bf16) numerics.
+    Training with a pinned ``linear_cache`` raises —
+    ``clear_linear_cache`` undoes it.  Returns the number of layers
+    linearized."""
+    from .pde.linearize import capture_linearized
+
+    with capture_linearized(max_dim=max_dim) as cap:
+        @jax.jit
+        def probe(p, s, x):
+            model.apply(p, s, x, Ctx(train=False))
+            # cap is populated at trace time; returning the tracers
+            # materializes the matrices as concrete arrays, in layer order
+            return [m for _, m in cap.items]
+
+        concrete = probe(params, state, sample_images[:1])
+    for (lay, _), m in zip(cap.items, concrete):
+        lay.linear_cache = m
+        lay.linear_precision = precision
+    return len(cap.items)
+
+
+def clear_linear_cache(model):
+    """Unpin matrices cached by linearize_pde_layers (e.g. to resume
+    training).  Returns the number of layers cleared."""
+    from .pde.linearize import iter_linear_pde_layers
+
+    n = 0
+    for lay in iter_linear_pde_layers(model):
+        if getattr(lay, "linear_cache", None) is not None:
+            lay.linear_cache = None
+            n += 1
+    return n
 
 
 def clear_operator_cache(model):

@@ -11,9 +11,10 @@ training CLI:
 * ``--export P``       serialize the eval-mode forward to StableHLO bytes
                        (reloadable without the model-building code)
 * ``--amp``            bf16 hoisted-inverse solves + frozen-params operator
-                       caching (`cache_hoisted_operators`) — the fastest
-                       serving configuration at every batch size (PERF.md
-                       §serving)
+                       caching (`cache_hoisted_operators`)
+* ``--linearize``      compose each linear PDE layer's whole evolution into
+                       ONE matmul (`linearize_pde_layers`) — the fastest
+                       frozen-params serving configuration (PERF.md §serving)
 * ``--dp``             shard the request batch over all visible devices
 * no flags             smoke: predict on a random batch and print a summary
 """
@@ -41,6 +42,10 @@ def main():
                     help="smoke/export batch size when no --input is given")
     ap.add_argument("--amp", action="store_true",
                     help="bf16 solves + frozen-params operator caching")
+    ap.add_argument("--linearize", action="store_true",
+                    help="collapse each linear PDE layer's whole evolution "
+                         "into one composed matmul (frozen-params serving; "
+                         "serve.linearize_pde_layers)")
     ap.add_argument("--dp", action="store_true",
                     help="shard the batch over all visible devices")
     ap.add_argument("--platform", default=None)
@@ -89,6 +94,12 @@ def main():
         n_cached = cache_hoisted_operators(model, params, state, images)
     else:
         n_cached = 0
+    if args.linearize:
+        from .serve import linearize_pde_layers
+
+        n_linearized = linearize_pde_layers(model, params, state, images)
+    else:
+        n_linearized = 0
 
     mesh = None
     if args.dp:
@@ -109,6 +120,7 @@ def main():
         "batch": int(images.shape[0]),
         "output": args.output,
         "amp_cached_layers": n_cached,
+        "linearized_layers": n_linearized,
         "devices": int(mesh.devices.size) if mesh is not None else 1,
     }
     if args.export:

@@ -58,6 +58,8 @@ QUICK_TESTS = {
     "test_pde_layers.py::test_fourier_ftcs_full_evolution_parity",
     "test_pde_layers.py::test_residual_diffusion[False]",
     "test_pde_layers.py::test_parabolic_and_hamiltonian_blocks",
+    # linearized serving (the linearity invariant + the flagship round trip)
+    "test_linearize.py::test_linearize_flagship_model",
     # numerics core
     "test_tridiag.py::test_eps_semantics_matches_reference_recurrence",
     "test_tridiag.py::test_pcr_matches_scan[28]",

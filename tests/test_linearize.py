@@ -1,0 +1,155 @@
+"""Linearized frozen-params serving (serve.linearize_pde_layers).
+
+Every PDE front-end layer is linear in u (pde/linearize.py docstring), so
+its whole evolution composes into one (D, D) matrix.  These tests pin the
+linearity invariant itself per layer family, and the serving behaviors:
+prediction agreement, train-mode refusal, max_dim gating, cache clearing.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnn_pde_tpu.nn.core import Ctx
+from cnn_pde_tpu.pde import (
+    ChannelCoupledDiffusion,
+    FourierFTCSLayer,
+    GrayscaleDiffusion,
+    MixedChannelDiffusion,
+    ResidualDiffusion,
+)
+from cnn_pde_tpu.serve import (
+    clear_linear_cache,
+    linearize_pde_layers,
+    make_predict_fn,
+)
+
+LAYERS = [
+    ("grayscale", lambda: GrayscaleDiffusion(size=8, num_steps=3), (1, 8, 8)),
+    ("coupled", lambda: ChannelCoupledDiffusion(size=8, num_steps=3),
+     (3, 8, 8)),
+    ("mixed_strang", lambda: MixedChannelDiffusion(size=8, num_steps=3),
+     (3, 8, 8)),
+    ("mixed_lie",
+     lambda: MixedChannelDiffusion(size=8, num_steps=3, splitting="lie"),
+     (3, 8, 8)),
+    ("ftcs", lambda: FourierFTCSLayer(Nx=8, Ny=8), (1, 8, 8)),
+    ("residual", lambda: ResidualDiffusion(size=8), (3, 8, 8)),
+    ("residual_implicit", lambda: ResidualDiffusion(size=8, use_implicit=True),
+     (3, 8, 8)),
+]
+
+
+@pytest.mark.parametrize("name,make,shape",
+                         [pytest.param(*t, id=t[0]) for t in LAYERS])
+def test_pde_layers_are_linear_in_u(rng, key, name, make, shape):
+    """The invariant linearized serving rests on: L(a·u1 + b·u2) ==
+    a·L(u1) + b·L(u2) — clamps/sigmoids act on params, never activations."""
+    layer = make()
+    params, state = layer.init(key)
+    u1 = jnp.asarray(rng.standard_normal((2,) + shape).astype(np.float32))
+    u2 = jnp.asarray(rng.standard_normal((2,) + shape).astype(np.float32))
+    a, b = 1.7, -0.6
+    f = jax.jit(lambda u: layer.apply(params, state, u, Ctx(train=False))[0])
+    lhs = f(a * u1 + b * u2)
+    rhs = a * f(u1) + b * f(u2)
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("name,make,shape",
+                         [pytest.param(*t, id=t[0]) for t in LAYERS])
+def test_linearize_single_layer_matches_sequential(rng, key, name, make,
+                                                   shape):
+    layer = make()
+    params, state = layer.init(key)
+    x = jnp.asarray(rng.standard_normal((3,) + shape).astype(np.float32))
+    ref, _ = jax.jit(lambda u: layer.apply(params, state, u,
+                                           Ctx(train=False)))(x)
+
+    assert linearize_pde_layers(layer, params, state, x) == 1
+    assert layer.linear_cache.shape == (int(np.prod(shape)),) * 2
+    out, _ = jax.jit(lambda u: layer.apply(params, state, u,
+                                           Ctx(train=False)))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    assert clear_linear_cache(layer) == 1
+
+
+def test_linearize_flagship_model(rng, key):
+    """All three MultiScaleExtractor branches linearize; predictions agree
+    with the sequential path; training with a pinned cache refuses."""
+    from cnn_pde_tpu.models import CIFAR10PDENoConv
+
+    model = CIFAR10PDENoConv()
+    params, state = model.init(key)
+    x = jnp.asarray(rng.random((3, 3, 32, 32)).astype(np.float32))
+    ref = make_predict_fn(model, params, state, output="probs")(x)
+
+    n = linearize_pde_layers(model, params, state, x)
+    assert n == 3
+    out = make_predict_fn(model, params, state, output="probs")(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="linear_cache"):
+        model.apply(params, state, x, Ctx(train=True, rng=key))
+
+    assert clear_linear_cache(model) == 3
+    out2 = make_predict_fn(model, params, state, output="probs")(x)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=0, atol=0)
+
+
+def test_linearize_composes_with_hoisted_operator_cache(rng, key):
+    """linearize after cache_hoisted_operators: the composed matrix bakes in
+    the (f32) cached operators — same predictions, and the linear_cache
+    takes precedence so serving still works."""
+    from cnn_pde_tpu.models import CIFAR10PDENoConv
+    from cnn_pde_tpu.serve import cache_hoisted_operators, clear_operator_cache
+
+    model = CIFAR10PDENoConv()
+    for pde in model.extractor.pdes:
+        pde.hoisted = True
+    params, state = model.init(key)
+    x = jnp.asarray(rng.random((2, 3, 32, 32)).astype(np.float32))
+    ref = make_predict_fn(model, params, state)(x)
+
+    assert cache_hoisted_operators(model, params, state, x) == 3
+    assert linearize_pde_layers(model, params, state, x) == 3
+    out = make_predict_fn(model, params, state)(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    clear_linear_cache(model)
+    clear_operator_cache(model)
+
+
+def test_linearize_max_dim_gate(rng, key):
+    """Layers with D > max_dim stay sequential (tiny_imagenet's 12288 would
+    be a 604 MB matrix for a ~0.3 ms front-end)."""
+    layer = MixedChannelDiffusion(size=8, num_steps=2)
+    params, state = layer.init(key)
+    x = jnp.asarray(rng.random((2, 3, 8, 8)).astype(np.float32))
+    ref, _ = layer.apply(params, state, x, Ctx(train=False))
+    assert linearize_pde_layers(layer, params, state, x, max_dim=100) == 0
+    assert getattr(layer, "linear_cache", None) is None
+    out, _ = layer.apply(params, state, x, Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=0)
+
+
+def test_linearize_emotion_classifier(rng, key):
+    """The FTCS spectral layer inside the emotion model linearizes (the
+    frozen reflect-ring boundary is linear in the initial u)."""
+    from cnn_pde_tpu.models import EmotionClassifier
+
+    model = EmotionClassifier()
+    params, state = model.init(key)
+    x = jnp.asarray(rng.random((2, 1, 48, 48)).astype(np.float32))
+    ref = make_predict_fn(model, params, state)(x)
+    assert linearize_pde_layers(model, params, state, x) == 1
+    out = make_predict_fn(model, params, state)(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    clear_linear_cache(model)

@@ -44,7 +44,9 @@ def main():
     from cnn_pde_tpu.ops.tridiag import set_default_impl
     from cnn_pde_tpu.serve import make_predict_fn
 
-    variants = ["xla", "fused"] + (["amp", "amp_cached"] if args.amp else [])
+    variants = ["xla", "fused"] + (
+        ["amp", "amp_cached", "linearized", "amp_linearized"]
+        if args.amp else [])
     results = {}
     for tag in variants:
         if tag == "fused" and jax.default_backend() != "tpu":
@@ -61,12 +63,21 @@ def main():
 
             enable_amp(model)
         params, state = model.init(jax.random.PRNGKey(0))
+        sample = jnp.zeros((1, 3, 32, 32), jnp.float32)
         if tag == "amp_cached":
             # frozen-params serving: pin the sweep operators as constants
             from cnn_pde_tpu.serve import cache_hoisted_operators
 
-            sample = jnp.zeros((1, 3, 32, 32), jnp.float32)
             cache_hoisted_operators(model, params, state, sample)
+        if tag.endswith("linearized"):
+            # frozen-params serving: the whole evolution as ONE matmul per
+            # branch (serve.linearize_pde_layers).  'linearized' composes
+            # from the exact-f32 sequential path; 'amp_linearized' from the
+            # hoisted-bf16 one (same numerics grade as amp_cached).
+            from cnn_pde_tpu.serve import linearize_pde_layers
+
+            n_lin = linearize_pde_layers(model, params, state, sample)
+            print(f"{tag}: linearized {n_lin} PDE layers", flush=True)
         for bs in args.batch_sizes:
             g = np.random.default_rng(0)
             images = jnp.asarray(g.random((bs, 3, 32, 32)).astype(np.float32))
