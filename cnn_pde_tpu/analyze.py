@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu); see train CLI")
+    ap.add_argument("--spectrum", action="store_true",
+                    help="exact stability analysis: eigen/singular spectrum "
+                         "of the composed evolution operator (the PDE layer "
+                         "is linear in u — utils.analysis.evolution_spectrum;"
+                         " goes beyond the reference's CFL heuristic)")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -147,6 +152,24 @@ def main():
             [("Final Alpha", alpha_f), ("Final Beta", beta_f),
              ("Alpha Time Coeff", np.asarray(diff_params["alpha_time_coeff"])),
              ("Beta Time Coeff", np.asarray(diff_params["beta_time_coeff"]))])
+
+    # exact spectral stability of the trained evolution operator (opt-in:
+    # a dense (D,D) eig on the host; D = C·H·W of the PDE layer input)
+    if args.spectrum and pde is not None and "diff" in state.params:
+        from .utils.analysis import evolution_spectrum
+
+        try:
+            spec = evolution_spectrum(pde, state.params["diff"],
+                                      dataset.test_images.shape[1:])
+            lam = spec["top_eigenvalues"][0]
+            print(f"Evolution operator (D={spec['dim']}): spectral radius "
+                  f"{spec['spectral_radius']:.6f} "
+                  f"{'✓ non-amplifying' if spec['stable'] else '⚠ AMPLIFYING'}"
+                  f", σ_max={spec['sigma_max']:.4f}, "
+                  f"λ₁={lam[0]:.4f}{lam[1]:+.4f}i")
+            out["evolution_spectrum"] = spec
+        except ValueError as e:
+            print(f"spectrum skipped: {e}")
 
     # prediction panel with after-PDE images for PDE-front-end models
     n_vis = min(8, dataset.test_images.shape[0])

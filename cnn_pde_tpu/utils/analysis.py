@@ -21,7 +21,63 @@ __all__ = [
     "anisotropy_analysis",
     "evaluation_summary",
     "coupling_strength",
+    "evolution_spectrum",
 ]
+
+
+def evolution_spectrum(layer, params, input_shape, max_dim=4096, top_k=8):
+    """EXACT stability analysis of a PDE layer's trained evolution — beyond
+    the reference's CFL heuristic (mnist_test.py:200-219, a sufficient
+    condition for the EXPLICIT scheme that says nothing about the implicit
+    ADI schemes actually used, nor about channel mixing/skip blends).
+
+    Every PDE front-end layer is linear in u (pde/linearize.py), so the whole
+    multi-step evolution IS a (D, D) matrix whose spectrum decides stability
+    outright: spectral radius ≤ 1 ⟺ the trained operator is non-amplifying;
+    the largest singular value bounds one-pass amplification; the eigenvalue
+    near 1 is the conserved (mass-like) mode of the Neumann BC.
+
+    ``input_shape``: (C, H, W) of the layer input.  Returns a dict with the
+    spectral radius, top-|λ| eigenvalues, σ_max/σ_min, and the composed
+    matrix's deviation from symmetry.  Layers with D > max_dim are refused
+    (the matrix would be impractically large).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..nn.core import Ctx
+    from ..pde.linearize import capture_linearized
+
+    D = int(np.prod(input_shape))
+    if D > max_dim:
+        raise ValueError(f"evolution dimension {D} exceeds max_dim={max_dim}")
+    with capture_linearized(max_dim=max_dim) as cap:
+        @jax.jit
+        def probe(p, x):
+            layer.apply(p, {}, x, Ctx(train=False))
+            return [m for _, m in cap.items]
+
+        mats = probe(params, jnp.zeros((1,) + tuple(input_shape), jnp.float32))
+    if not mats:
+        raise ValueError("layer did not linearize (is it a PDE layer?)")
+    # linearize convention: out_flat = u_flat @ M, i.e. the operator acting
+    # on column-vector states is Mᵀ — same spectrum, transposed symmetry
+    m = np.asarray(mats[0], np.float64).T
+    eig = np.linalg.eigvals(m)
+    order = np.argsort(-np.abs(eig))
+    sv = np.linalg.svd(m, compute_uv=False)
+    sym = 0.5 * (m + m.T)
+    return {
+        "dim": D,
+        "spectral_radius": float(np.abs(eig).max()),
+        # (re, im) pairs — JSON-serializable
+        "top_eigenvalues": [[float(e.real), float(e.imag)]
+                            for e in eig[order[:top_k]]],
+        "sigma_max": float(sv[0]),
+        "sigma_min": float(sv[-1]),
+        "non_normality": float(np.linalg.norm(m - sym) / np.linalg.norm(m)),
+        "stable": bool(np.abs(eig).max() <= 1.0 + 1e-6),
+    }
 
 
 def cfl_report(alpha_base, alpha_time, beta_base, beta_time, *, dt, dx, dy,

@@ -13,18 +13,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_analyze_cli_mnist(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "cnn_pde_tpu.analyze", "--preset", "mnist",
-         "--synthetic", "--output-dir", str(tmp_path), "--platform", "cpu"],
+         "--synthetic", "--output-dir", str(tmp_path), "--platform", "cpu",
+         "--spectrum"],
         cwd=REPO, capture_output=True, text=True, timeout=900)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "Test Accuracy:" in out.stdout
     assert "CFL:" in out.stdout          # P1 per-pixel fields present
     assert "Anisotropy ratio:" in out.stdout
+    assert "spectral radius" in out.stdout  # --spectrum exact stability
     for suffix in ("confusion.png", "coefficients.png", "predictions.png",
                    "panel.png", "report.json"):
         path = tmp_path / f"mnist_{suffix}"
         assert path.exists() and path.stat().st_size > 0, suffix
     report = json.loads((tmp_path / "mnist_report.json").read_text())
     assert "accuracy" in report and "cfl" in report and "anisotropy" in report
+    spec = report["evolution_spectrum"]
+    assert spec["dim"] == 784 and spec["stable"]
+    # Neumann BC: the constant mode is exactly conserved, so the spectral
+    # radius of the implicit diffusion evolution is 1 (to f32 composition)
+    assert abs(spec["spectral_radius"] - 1.0) < 1e-3
 
 
 def test_analyze_cli_svhn_mega_panel(tmp_path):

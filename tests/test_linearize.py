@@ -139,6 +139,30 @@ def test_linearize_max_dim_gate(rng, key):
                                rtol=0, atol=0)
 
 
+def test_evolution_spectrum(key):
+    """Exact stability analysis from the composed operator: implicit
+    Neumann diffusion is non-amplifying with the constant mode conserved
+    (spectral radius == 1); beyond the reference's CFL heuristic."""
+    from cnn_pde_tpu.utils.analysis import evolution_spectrum
+
+    layer = GrayscaleDiffusion(size=12, num_steps=4, dt=0.01)
+    params, _ = layer.init(key)
+    spec = evolution_spectrum(layer, params, (1, 12, 12))
+    assert spec["dim"] == 144
+    assert spec["stable"]
+    assert abs(spec["spectral_radius"] - 1.0) < 1e-4
+    assert spec["sigma_min"] > 0.0  # the implicit solve is invertible
+    # the linearize hook must be cleanly unwound: a normal apply still works
+    u = jnp.ones((2, 1, 12, 12), jnp.float32)
+    out, _ = layer.apply(params, {}, u, Ctx(train=False))
+    # diffusion of a constant field is the constant field (Neumann; the
+    # reference's eps-in-denominator quirk decays it by ~1e-6/substep)
+    np.testing.assert_allclose(np.asarray(out), 1.0, rtol=0, atol=5e-5)
+
+    with pytest.raises(ValueError, match="max_dim"):
+        evolution_spectrum(layer, params, (1, 12, 12), max_dim=10)
+
+
 def test_linearize_emotion_classifier(rng, key):
     """The FTCS spectral layer inside the emotion model linearizes (the
     frozen reflect-ring boundary is linear in the initial u)."""
