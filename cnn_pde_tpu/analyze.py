@@ -153,23 +153,28 @@ def main():
              ("Alpha Time Coeff", np.asarray(diff_params["alpha_time_coeff"])),
              ("Beta Time Coeff", np.asarray(diff_params["beta_time_coeff"]))])
 
-    # exact spectral stability of the trained evolution operator (opt-in:
-    # a dense (D,D) eig on the host; D = C·H·W of the PDE layer input)
-    if args.spectrum and pde is not None and "diff" in state.params:
-        from .utils.analysis import evolution_spectrum
+    # exact spectral stability of every trained evolution operator (opt-in:
+    # dense (D,D) eigs on the host; D = C·H·W of each PDE layer's input)
+    if args.spectrum:
+        from .utils.analysis import model_evolution_spectra
 
-        try:
-            spec = evolution_spectrum(pde, state.params["diff"],
-                                      dataset.test_images.shape[1:])
+        spectra = model_evolution_spectra(
+            model, state.params, state.model_state,
+            dataset.test_images.shape[1:])
+        if not spectra:
+            print("spectrum: no linearizable PDE layer ≤ max_dim "
+                  "(tiny_imagenet's D=12288 operator is skipped by size)")
+        for i, (cls, spec) in enumerate(spectra):
             lam = spec["top_eigenvalues"][0]
-            print(f"Evolution operator (D={spec['dim']}): spectral radius "
-                  f"{spec['spectral_radius']:.6f} "
+            print(f"Evolution operator {i} ({cls}, D={spec['dim']}): "
+                  f"spectral radius {spec['spectral_radius']:.6f} "
                   f"{'✓ non-amplifying' if spec['stable'] else '⚠ AMPLIFYING'}"
                   f", σ_max={spec['sigma_max']:.4f}, "
                   f"λ₁={lam[0]:.4f}{lam[1]:+.4f}i")
-            out["evolution_spectrum"] = spec
-        except ValueError as e:
-            print(f"spectrum skipped: {e}")
+        out["evolution_spectra"] = [
+            {"layer": cls, **spec} for cls, spec in spectra]
+        if spectra:
+            out["evolution_spectrum"] = spectra[0][1]  # back-compat alias
 
     # prediction panel with after-PDE images for PDE-front-end models
     n_vis = min(8, dataset.test_images.shape[0])

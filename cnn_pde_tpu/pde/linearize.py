@@ -71,7 +71,16 @@ def capture_linearized(max_dim=4096):
 
 def _apply_mat(u, mat, precision):
     B = u.shape[0]
-    out = lax.dot(u.reshape(B, -1), mat.astype(u.dtype), precision=precision)
+    if mat.dtype == jnp.bfloat16:
+        # true half-precision path: bf16 operands, f32 accumulation —
+        # halves the matrix HBM traffic (the bs=1 serving cost) instead of
+        # upcasting the stored matrix back to f32
+        out = lax.dot_general(u.reshape(B, -1).astype(jnp.bfloat16), mat,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    else:
+        out = lax.dot(u.reshape(B, -1), mat.astype(u.dtype),
+                      precision=precision)
     return out.reshape(u.shape)
 
 

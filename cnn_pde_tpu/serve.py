@@ -91,7 +91,7 @@ def cache_hoisted_operators(model, params, state, sample_images):
 
 
 def linearize_pde_layers(model, params, state, sample_images, max_dim=4096,
-                         precision=None):
+                         precision=None, dtype=None):
     """Frozen-params serving: collapse each linear PDE layer's ENTIRE
     multi-step evolution into one composed (D, D) matrix, D = C·H·W.
 
@@ -107,6 +107,11 @@ def linearize_pde_layers(model, params, state, sample_images, max_dim=4096,
     bf16-pass MXU, the same AMP serving grade as ``enable_amp``;
     'highest' for f32-exact passes).  Numerics vs the sequential path:
     ~1e-5 relative f32 reassociation at HIGHEST, bf16 scale at DEFAULT.
+
+    ``dtype``: storage dtype for the pinned matrices.  ``jnp.bfloat16``
+    halves the per-request matrix HBM traffic — the dominant small-batch
+    cost (the flagship's three 3072² f32 matrices are 113 MB) — applying
+    with bf16 operands and f32 accumulation; composition stays f32.
 
     Composes with ``cache_hoisted_operators``: if operator caches are
     pinned, the composed matrix bakes in their (possibly bf16) numerics.
@@ -125,7 +130,7 @@ def linearize_pde_layers(model, params, state, sample_images, max_dim=4096,
 
         concrete = probe(params, state, sample_images[:1])
     for (lay, _), m in zip(cap.items, concrete):
-        lay.linear_cache = m
+        lay.linear_cache = m if dtype is None else m.astype(dtype)
         lay.linear_precision = precision
     return len(cap.items)
 

@@ -22,6 +22,8 @@ __all__ = [
     "evaluation_summary",
     "coupling_strength",
     "evolution_spectrum",
+    "model_evolution_spectra",
+    "operator_spectrum",
 ]
 
 
@@ -60,15 +62,20 @@ def evolution_spectrum(layer, params, input_shape, max_dim=4096, top_k=8):
         mats = probe(params, jnp.zeros((1,) + tuple(input_shape), jnp.float32))
     if not mats:
         raise ValueError("layer did not linearize (is it a PDE layer?)")
-    # linearize convention: out_flat = u_flat @ M, i.e. the operator acting
-    # on column-vector states is Mᵀ — same spectrum, transposed symmetry
-    m = np.asarray(mats[0], np.float64).T
+    return operator_spectrum(mats[0], top_k=top_k)
+
+
+def operator_spectrum(mat, top_k=8):
+    """Spectral report of one composed evolution matrix (linearize
+    convention: out_flat = u_flat @ M, so the operator acting on
+    column-vector states is Mᵀ — same spectrum, transposed symmetry)."""
+    m = np.asarray(mat, np.float64).T
     eig = np.linalg.eigvals(m)
     order = np.argsort(-np.abs(eig))
     sv = np.linalg.svd(m, compute_uv=False)
     sym = 0.5 * (m + m.T)
     return {
-        "dim": D,
+        "dim": int(m.shape[0]),
         "spectral_radius": float(np.abs(eig).max()),
         # (re, im) pairs — JSON-serializable
         "top_eigenvalues": [[float(e.real), float(e.imag)]
@@ -78,6 +85,31 @@ def evolution_spectrum(layer, params, input_shape, max_dim=4096, top_k=8):
         "non_normality": float(np.linalg.norm(m - sym) / np.linalg.norm(m)),
         "stable": bool(np.abs(eig).max() <= 1.0 + 1e-6),
     }
+
+
+def model_evolution_spectra(model, params, state, input_shape, max_dim=4096,
+                            top_k=8):
+    """evolution_spectrum over EVERY linearizable PDE layer reachable from a
+    full model forward (the flagship's 3 multi-scale branches, the SVHN
+    coupled layer, the hybrid model's two diffusion branches, ...).  Returns
+    a list of (layer_class_name, spectrum_dict) in call order; layers with
+    D > max_dim are skipped (e.g. Tiny-ImageNet's 12288)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..nn.core import Ctx
+    from ..pde.linearize import capture_linearized
+
+    with capture_linearized(max_dim=max_dim) as cap:
+        @jax.jit
+        def probe(p, s, x):
+            model.apply(p, s, x, Ctx(train=False))
+            return [m for _, m in cap.items]
+
+        mats = probe(params, state,
+                     jnp.zeros((1,) + tuple(input_shape), jnp.float32))
+    return [(type(lay).__name__, operator_spectrum(m, top_k=top_k))
+            for (lay, _), m in zip(cap.items, mats)]
 
 
 def cfl_report(alpha_base, alpha_time, beta_base, beta_time, *, dt, dx, dy,

@@ -139,6 +139,23 @@ def test_linearize_max_dim_gate(rng, key):
                                rtol=0, atol=0)
 
 
+def test_linearize_bf16_storage(rng, key):
+    """dtype=bf16 halves the pinned-matrix HBM traffic; outputs agree with
+    the sequential path at half-precision scale (f32 accumulation)."""
+    layer = MixedChannelDiffusion(size=8, num_steps=3)
+    params, state = layer.init(key)
+    x = jnp.asarray(rng.standard_normal((3, 3, 8, 8)).astype(np.float32))
+    ref, _ = layer.apply(params, state, x, Ctx(train=False))
+    assert linearize_pde_layers(layer, params, state, x,
+                                dtype=jnp.bfloat16) == 1
+    assert layer.linear_cache.dtype == jnp.bfloat16
+    out, _ = layer.apply(params, state, x, Ctx(train=False))
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    clear_linear_cache(layer)
+
+
 def test_evolution_spectrum(key):
     """Exact stability analysis from the composed operator: implicit
     Neumann diffusion is non-amplifying with the constant mode conserved

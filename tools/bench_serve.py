@@ -38,15 +38,18 @@ def main():
     ap.add_argument("--amp", action="store_true",
                     help="also measure the enable_amp serving variants "
                          "(hoisted-bf16 and frozen-operator-cached)")
+    ap.add_argument("--variants", nargs="+", default=None,
+                    help="explicit variant list (overrides --amp): any of "
+                         "xla fused amp amp_cached linearized amp_linearized")
     args = ap.parse_args()
 
     from cnn_pde_tpu.models import CIFAR10PDENoConv
     from cnn_pde_tpu.ops.tridiag import set_default_impl
     from cnn_pde_tpu.serve import make_predict_fn
 
-    variants = ["xla", "fused"] + (
+    variants = args.variants or (["xla", "fused"] + (
         ["amp", "amp_cached", "linearized", "amp_linearized"]
-        if args.amp else [])
+        if args.amp else []))
     results = {}
     for tag in variants:
         if tag == "fused" and jax.default_backend() != "tpu":
@@ -69,14 +72,18 @@ def main():
             from cnn_pde_tpu.serve import cache_hoisted_operators
 
             cache_hoisted_operators(model, params, state, sample)
-        if tag.endswith("linearized"):
+        if "linearized" in tag:
             # frozen-params serving: the whole evolution as ONE matmul per
             # branch (serve.linearize_pde_layers).  'linearized' composes
             # from the exact-f32 sequential path; 'amp_linearized' from the
-            # hoisted-bf16 one (same numerics grade as amp_cached).
+            # hoisted-bf16 one (same numerics grade as amp_cached);
+            # 'linearized_bf16' stores the matrices in bf16 (halved HBM
+            # traffic — the bs=1 cost), f32 accumulation.
             from cnn_pde_tpu.serve import linearize_pde_layers
 
-            n_lin = linearize_pde_layers(model, params, state, sample)
+            n_lin = linearize_pde_layers(
+                model, params, state, sample,
+                dtype=jnp.bfloat16 if tag.endswith("bf16") else None)
             print(f"{tag}: linearized {n_lin} PDE layers", flush=True)
         for bs in args.batch_sizes:
             g = np.random.default_rng(0)
