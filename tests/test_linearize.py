@@ -139,6 +139,38 @@ def test_linearize_max_dim_gate(rng, key):
                                rtol=0, atol=0)
 
 
+def test_linearize_composes_with_export_and_dp(rng, key):
+    """The linearized model must export to StableHLO (matrices embedded as
+    constants) and serve data-parallel over a mesh, agreeing with the
+    in-process predictions."""
+    import jax
+
+    from cnn_pde_tpu.models import EmotionClassifier
+    from cnn_pde_tpu.parallel.mesh import make_mesh
+    from cnn_pde_tpu.serve import export_model, load_exported
+
+    model = EmotionClassifier()
+    params, state = model.init(key)
+    x = jnp.asarray(rng.random((8, 1, 48, 48)).astype(np.float32))
+    assert linearize_pde_layers(model, params, state, x) == 1
+    ref = np.asarray(make_predict_fn(model, params, state)(x))
+
+    # random-init emotion logits are ~1e4 (the reference's CFL-unstable
+    # layer amplifies), so reload-compile reassociation needs a
+    # scale-relative tolerance; label agreement must be exact
+    blob = export_model(model, params, state, x)
+    out = np.asarray(load_exported(blob)(x))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out / scale, ref / scale, rtol=0, atol=1e-4)
+    np.testing.assert_array_equal(out.argmax(-1), ref.argmax(-1))
+
+    if len(jax.devices()) >= 8:
+        mesh = make_mesh(spatial=1)
+        dp = np.asarray(make_predict_fn(model, params, state, mesh=mesh)(x))
+        np.testing.assert_allclose(dp / scale, ref / scale, rtol=0, atol=1e-4)
+    clear_linear_cache(model)
+
+
 def test_linearize_bf16_storage(rng, key):
     """dtype=bf16 halves the pinned-matrix HBM traffic; outputs agree with
     the sequential path at half-precision scale (f32 accumulation)."""
