@@ -16,6 +16,8 @@ training CLI:
                        ONE matmul (`linearize_pde_layers`) — the fastest
                        frozen-params serving configuration (PERF.md §serving)
 * ``--dp``             shard the request batch over all visible devices
+* ``--http PORT``      production HTTP endpoint (stdlib ThreadingHTTPServer):
+                       POST /predict with a .npy or JSON batch, GET /healthz
 * no flags             smoke: predict on a random batch and print a summary
 """
 
@@ -48,6 +50,9 @@ def main():
                          "serve.linearize_pde_layers)")
     ap.add_argument("--dp", action="store_true",
                     help="shard the batch over all visible devices")
+    ap.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="serve over HTTP: POST /predict (.npy or JSON "
+                         "batch), GET /healthz — blocks until Ctrl-C")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -112,6 +117,16 @@ def main():
 
     predict = make_predict_fn(model, params, state, output=args.output,
                               mesh=mesh)
+
+    if args.http is not None:
+        from .serve_http import serve_http
+
+        fns = {o: make_predict_fn(model, params, state, output=o, mesh=mesh)
+               for o in ("labels", "probs", "logits")}
+        predict(images)  # warm the compile before accepting traffic
+        serve_http(fns, port=args.http)
+        return
+
     out = np.asarray(predict(images))
 
     summary = {

@@ -1,0 +1,134 @@
+"""Minimal production HTTP serving endpoint (stdlib-only, no dependencies).
+
+The reference has no serving story at all (SURVEY.md §3.5); this is the
+network-facing complement to ``serve.make_predict_fn``:
+
+    POST /predict   body = a .npy batch (NCHW float32, np.save bytes) or a
+                    JSON nested array; query ?output=labels|probs|logits
+                    (default: the predict fn's own output).  Responds JSON
+                    {"output": ..., "shape": ..., "data": [...]} or, with
+                    Accept: application/x-npy, raw .npy bytes.
+    GET  /healthz   {"ok": true, "requests": N}
+
+Design notes: requests are served sequentially by a ThreadingHTTPServer
+whose handler funnels through one jit'd predict fn — JAX dispatch is
+thread-safe, and the single device executes serially anyway; batching
+policy belongs to the caller (send batched .npy bodies).  Shapes other
+than the compiled one trigger a fresh jit compile on first use (cached
+after), exactly like any jit'd callable.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+__all__ = ["PredictServer", "serve_http"]
+
+
+class PredictServer:
+    """Wraps a predict callable in a ThreadingHTTPServer.
+
+    ``predict_fns``: dict output-name -> callable(images)->array (build with
+    serve.make_predict_fn for each output you want to expose), or a single
+    callable (exposed as 'default').
+    """
+
+    def __init__(self, predict_fns, host="127.0.0.1", port=0):
+        if callable(predict_fns):
+            predict_fns = {"default": predict_fns}
+        self.predict_fns = predict_fns
+        self.n_requests = 0
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet by default
+                pass
+
+            def _send(self, code, payload, content_type="application/json"):
+                body = (json.dumps(payload).encode()
+                        if content_type == "application/json" else payload)
+                self.send_response(code)
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path.split("?")[0] == "/healthz":
+                    self._send(200, {"ok": True,
+                                     "requests": outer.n_requests,
+                                     "outputs": sorted(outer.predict_fns)})
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                path, _, query = self.path.partition("?")
+                if path != "/predict":
+                    return self._send(404, {"error": "not found"})
+                params = dict(kv.split("=", 1) for kv in query.split("&")
+                              if "=" in kv)
+                name = params.get("output",
+                                  next(iter(sorted(outer.predict_fns))))
+                fn = outer.predict_fns.get(name)
+                if fn is None:
+                    return self._send(
+                        400, {"error": f"unknown output {name!r}",
+                              "outputs": sorted(outer.predict_fns)})
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n)
+                try:
+                    if self.headers.get("Content-Type", "").startswith(
+                            "application/json"):
+                        batch = np.asarray(json.loads(raw), np.float32)
+                    else:
+                        batch = np.load(io.BytesIO(raw), allow_pickle=False)
+                except Exception as e:  # malformed body is a client error
+                    return self._send(400, {"error": f"bad batch: {e}"})
+                try:
+                    out = np.asarray(fn(batch))
+                except Exception as e:  # shape/dtype mismatch etc.
+                    return self._send(400, {"error": f"predict failed: {e}"})
+                outer.n_requests += 1
+                if "application/x-npy" in self.headers.get("Accept", ""):
+                    buf = io.BytesIO()
+                    np.save(buf, out)
+                    return self._send(200, buf.getvalue(),
+                                      content_type="application/x-npy")
+                self._send(200, {"output": name, "shape": list(out.shape),
+                                 "data": out.tolist()})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self.httpd.server_address[:2]
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def start_background(self):
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def serve_http(predict_fns, host="127.0.0.1", port=8000, background=False):
+    """Start serving; returns the PredictServer.  ``background=True`` runs
+    the accept loop in a daemon thread (for tests / embedding)."""
+    server = PredictServer(predict_fns, host=host, port=port)
+    if background:
+        server.start_background()
+    else:
+        print(f"serving on http://{server.host}:{server.port} "
+              f"(POST /predict, GET /healthz)", flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
+    return server

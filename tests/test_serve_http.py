@@ -1,0 +1,82 @@
+"""HTTP serving endpoint (serve_http): npy/JSON bodies, output selection,
+health, error paths — driven through a real socket against the in-process
+ThreadingHTTPServer."""
+
+import io
+import json
+import urllib.error
+import urllib.request
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnn_pde_tpu.models import MNISTClassifier
+from cnn_pde_tpu.serve import make_predict_fn
+from cnn_pde_tpu.serve_http import serve_http
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = MNISTClassifier()
+    params, state = model.init(__import__("jax").random.PRNGKey(0))
+    fns = {o: make_predict_fn(model, params, state, output=o)
+           for o in ("labels", "probs", "logits")}
+    srv = serve_http(fns, port=0, background=True)
+    yield srv, fns
+    srv.shutdown()
+
+
+def _post(url, body, content_type, accept=None):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": content_type,
+                                          **({"Accept": accept}
+                                             if accept else {})})
+    return urllib.request.urlopen(req, timeout=60)
+
+
+def test_http_predict_npy_and_json(server, rng):
+    srv, fns = server
+    base = f"http://{srv.host}:{srv.port}"
+    batch = rng.random((4, 1, 28, 28)).astype(np.float32)
+    want = np.asarray(fns["labels"](jnp.asarray(batch)))
+
+    buf = io.BytesIO()
+    np.save(buf, batch)
+    with _post(f"{base}/predict?output=labels", buf.getvalue(),
+               "application/x-npy") as r:
+        out = json.load(r)
+    assert out["output"] == "labels"
+    assert out["data"] == want.tolist()
+
+    with _post(f"{base}/predict?output=labels", json.dumps(batch.tolist()
+               ).encode(), "application/json") as r:
+        assert json.load(r)["data"] == want.tolist()
+
+    # binary npy response
+    with _post(f"{base}/predict?output=probs", buf.getvalue(),
+               "application/x-npy", accept="application/x-npy") as r:
+        probs = np.load(io.BytesIO(r.read()))
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+    assert probs.shape == (4, 10)
+
+
+def test_http_health_and_errors(server):
+    srv, _ = server
+    base = f"http://{srv.host}:{srv.port}"
+    with urllib.request.urlopen(f"{base}/healthz", timeout=60) as r:
+        health = json.load(r)
+    assert health["ok"] and set(health["outputs"]) == {"labels", "probs",
+                                                       "logits"}
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{base}/predict?output=nope", b"{}", "application/json")
+    assert e.value.code == 400
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{base}/predict", b"not npy", "application/x-npy")
+    assert e.value.code == 400
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{base}/nowhere", timeout=60)
+    assert e.value.code == 404

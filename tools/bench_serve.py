@@ -40,12 +40,20 @@ def main():
                          "(hoisted-bf16 and frozen-operator-cached)")
     ap.add_argument("--variants", nargs="+", default=None,
                     help="explicit variant list (overrides --amp): any of "
-                         "xla fused amp amp_cached linearized amp_linearized")
+                         "xla fused amp amp_cached linearized amp_linearized "
+                         "linearized_bf16")
+    ap.add_argument("--preset", default="cifar10_noconv",
+                    help="serve any preset's model (default: the flagship)")
     args = ap.parse_args()
 
-    from cnn_pde_tpu.models import CIFAR10PDENoConv
+    from cnn_pde_tpu.data import SYNTHETIC_SPECS
+    from cnn_pde_tpu.models import MODEL_REGISTRY
     from cnn_pde_tpu.ops.tridiag import set_default_impl
     from cnn_pde_tpu.serve import make_predict_fn
+    from cnn_pde_tpu.utils.config import get_preset
+
+    preset = get_preset(args.preset)
+    channels, size, _ = SYNTHETIC_SPECS[preset.dataset]
 
     variants = args.variants or (["xla", "fused"] + (
         ["amp", "amp_cached", "linearized", "amp_linearized"]
@@ -60,13 +68,16 @@ def main():
             continue
         amp = tag.startswith("amp")
         prev_impl = set_default_impl("matinv_bf16") if amp else None
-        model = CIFAR10PDENoConv(fused_pde=(tag == "fused"))
+        kwargs = dict(preset.model_kwargs)
+        if tag == "fused":
+            kwargs["fused_pde"] = True  # flagship-only option
+        model = MODEL_REGISTRY[preset.model](**kwargs)
         if amp:  # hoisted-bf16 layers — the production AMP config
             from cnn_pde_tpu.pde import enable_amp
 
             enable_amp(model)
         params, state = model.init(jax.random.PRNGKey(0))
-        sample = jnp.zeros((1, 3, 32, 32), jnp.float32)
+        sample = jnp.zeros((1, channels, size, size), jnp.float32)
         if tag == "amp_cached":
             # frozen-params serving: pin the sweep operators as constants
             from cnn_pde_tpu.serve import cache_hoisted_operators
@@ -87,7 +98,8 @@ def main():
             print(f"{tag}: linearized {n_lin} PDE layers", flush=True)
         for bs in args.batch_sizes:
             g = np.random.default_rng(0)
-            images = jnp.asarray(g.random((bs, 3, 32, 32)).astype(np.float32))
+            images = jnp.asarray(
+                g.random((bs, channels, size, size)).astype(np.float32))
             predict = make_predict_fn(model, params, state, output="labels")
 
             # throughput: chained batches in one dispatch
