@@ -123,8 +123,9 @@ def main():
 
         fns = {o: make_predict_fn(model, params, state, output=o, mesh=mesh)
                for o in ("labels", "probs", "logits")}
-        predict(images)  # warm the compile before accepting traffic
-        serve_http(fns, port=args.http)
+        for fn in fns.values():
+            fn(images)  # warm each served fn's compile before traffic
+        serve_http(fns, port=args.http, default_output=args.output)
         return
 
     out = np.asarray(predict(images))

@@ -5,7 +5,8 @@ network-facing complement to ``serve.make_predict_fn``:
 
     POST /predict   body = a .npy batch (NCHW float32, np.save bytes) or a
                     JSON nested array; query ?output=labels|probs|logits
-                    (default: the predict fn's own output).  Responds JSON
+                    (default: the server's ``default_output``, which the
+                    serve CLI sets from --output).  Responds JSON
                     {"output": ..., "shape": ..., "data": [...]} or, with
                     Accept: application/x-npy, raw .npy bytes.
     GET  /healthz   {"ok": true, "requests": N}
@@ -38,11 +39,18 @@ class PredictServer:
     callable (exposed as 'default').
     """
 
-    def __init__(self, predict_fns, host="127.0.0.1", port=0):
+    def __init__(self, predict_fns, host="127.0.0.1", port=0,
+                 default_output=None):
         if callable(predict_fns):
             predict_fns = {"default": predict_fns}
         self.predict_fns = predict_fns
+        self.default_output = (default_output if default_output is not None
+                               else next(iter(sorted(predict_fns))))
+        if self.default_output not in predict_fns:
+            raise ValueError(f"default_output {self.default_output!r} not in "
+                             f"{sorted(predict_fns)}")
         self.n_requests = 0
+        self._count_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -72,8 +80,7 @@ class PredictServer:
                     return self._send(404, {"error": "not found"})
                 params = dict(kv.split("=", 1) for kv in query.split("&")
                               if "=" in kv)
-                name = params.get("output",
-                                  next(iter(sorted(outer.predict_fns))))
+                name = params.get("output", outer.default_output)
                 fn = outer.predict_fns.get(name)
                 if fn is None:
                     return self._send(
@@ -93,7 +100,8 @@ class PredictServer:
                     out = np.asarray(fn(batch))
                 except Exception as e:  # shape/dtype mismatch etc.
                     return self._send(400, {"error": f"predict failed: {e}"})
-                outer.n_requests += 1
+                with outer._count_lock:  # handler threads share the counter
+                    outer.n_requests += 1
                 if "application/x-npy" in self.headers.get("Accept", ""):
                     buf = io.BytesIO()
                     np.save(buf, out)
@@ -118,10 +126,13 @@ class PredictServer:
         self.httpd.server_close()
 
 
-def serve_http(predict_fns, host="127.0.0.1", port=8000, background=False):
+def serve_http(predict_fns, host="127.0.0.1", port=8000, background=False,
+               default_output=None):
     """Start serving; returns the PredictServer.  ``background=True`` runs
-    the accept loop in a daemon thread (for tests / embedding)."""
-    server = PredictServer(predict_fns, host=host, port=port)
+    the accept loop in a daemon thread (for tests / embedding);
+    ``default_output`` names the fn served when /predict has no ?output=."""
+    server = PredictServer(predict_fns, host=host, port=port,
+                           default_output=default_output)
     if background:
         server.start_background()
     else:

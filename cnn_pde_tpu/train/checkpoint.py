@@ -38,8 +38,13 @@ def _flat_dict(tree):
     return {f"{i:06d}": np.asarray(l) for i, l in enumerate(leaves)}
 
 
-def save_checkpoint(directory, state, tag="last", backend="pickle"):
-    """Save params + model_state (BN stats) + opt_state + step."""
+def save_checkpoint(directory, state, tag="last", backend="pickle",
+                    extra=None):
+    """Save params + model_state (BN stats) + opt_state + step.
+
+    ``extra``: optional flat dict of plain numbers saved alongside (e.g.
+    fit()'s best_acc/patience_count/epoch so --resume keeps best-model and
+    early-stopping continuity)."""
     os.makedirs(directory, exist_ok=True)
     if backend == "orbax":
         import orbax.checkpoint as ocp
@@ -47,11 +52,15 @@ def save_checkpoint(directory, state, tag="last", backend="pickle"):
         payload = {c: _flat_dict(getattr(state, c)) for c in _COMPONENTS}
         payload = {c: v for c, v in payload.items() if v}  # orbax: no empties
         payload["step"] = int(state.step)
+        if extra:
+            payload["extra"] = dict(extra)
         path = os.path.abspath(os.path.join(directory, f"{tag}.orbax"))
         ocp.PyTreeCheckpointer().save(path, payload, force=True)
         return path
     payload = {c: _to_numpy(getattr(state, c)) for c in _COMPONENTS}
     payload["step"] = int(state.step)
+    if extra:
+        payload["extra"] = dict(extra)
     path = os.path.join(directory, f"{tag}.ckpt")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -64,7 +73,8 @@ _ASYNC_EXECUTOR = None
 _PENDING = []
 
 
-def save_checkpoint_async(directory, state, tag="last", backend="pickle"):
+def save_checkpoint_async(directory, state, tag="last", backend="pickle",
+                          extra=None):
     """save_checkpoint off the training thread.
 
     The snapshot is taken as DEVICE-SIDE COPIES (``jnp.copy``, an async
@@ -96,7 +106,7 @@ def save_checkpoint_async(directory, state, tag="last", backend="pickle"):
         step=int(state.step),
         **{c: _device_copy(getattr(state, c)) for c in _COMPONENTS})
     fut = _ASYNC_EXECUTOR.submit(save_checkpoint, directory, snapshot,
-                                 tag, backend)
+                                 tag, backend, extra)
     _PENDING.append(fut)
     return fut
 
@@ -138,6 +148,9 @@ def load_checkpoint(directory, tag="last"):
 
         payload = dict(ocp.PyTreeCheckpointer().restore(orbax_path))
         payload["step"] = int(np.asarray(payload["step"]))
+        if "extra" in payload:
+            payload["extra"] = {k: float(np.asarray(v))
+                                for k, v in dict(payload["extra"]).items()}
         payload["_flat"] = True
         return payload
     with open(pickle_path, "rb") as f:

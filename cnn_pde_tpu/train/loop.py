@@ -503,12 +503,14 @@ class Trainer:
         Fault tolerance (beyond the reference): ``checkpoint_every=N``
         additionally saves a rolling 'last' checkpoint (params + BN stats +
         optimizer state + step) at every chunk boundary that crosses a
-        multiple of N epochs, and once more at the end.  ``start_epoch``
+        multiple of N epochs, once more at the end, and on early stop; its
+        ``extra`` dict carries best_acc/patience_count so a resumed run
+        keeps best-model and early-stopping continuity.  ``start_epoch``
         resumes mid-run: None (default) derives it from ``state.step``
         (restored by checkpoint.restore_state) and the dataset's
-        steps-per-epoch, so a killed run restarted with --resume continues
-        from the first uncompleted epoch with schedule/optimizer state
-        intact.
+        steps-per-epoch (capped by max_steps_per_epoch for --steps runs),
+        so a killed run restarted with --resume continues from the first
+        uncompleted epoch with schedule/optimizer state intact.
 
         ``metrics_sink`` (train.sinks.MetricsSink) receives each epoch
         record — the history dict plus a 1-based 'epoch' key, with
@@ -522,12 +524,30 @@ class Trainer:
         if start_epoch is None:
             spe = (dataset.steps_for_batch(cfg.batch_size)
                    if hasattr(dataset, "steps_for_batch") else None)
+            if spe and cfg.max_steps_per_epoch is not None:
+                # epochs advance by the capped step count (--steps runs)
+                spe = min(spe, cfg.max_steps_per_epoch)
             start_epoch = min(int(state.step) // spe, cfg.epochs) \
                 if spe else 0
         epoch = start_epoch
+        if epoch and checkpoint_dir is not None:
+            # resume continuity: the rolling 'last' checkpoint carries
+            # best_acc / patience_count (its extra dict), so a restarted
+            # run neither clobbers a better 'best' checkpoint with a worse
+            # model nor resets the early-stopping clock
+            from .checkpoint import load_checkpoint
+
+            try:
+                payload = load_checkpoint(checkpoint_dir, tag="last")
+            except (FileNotFoundError, OSError):
+                payload = None
+            extra = (payload or {}).get("extra")
+            if extra and payload.get("step") == int(state.step):
+                best_acc = float(extra.get("best_acc", 0.0))
+                patience_count = int(extra.get("patience_count", 0))
         if verbose and epoch:
             print(f"Resuming at epoch {epoch + 1}/{cfg.epochs} "
-                  f"(step {int(state.step)})")
+                  f"(step {int(state.step)}, best_acc {best_acc:.2f})")
         stop = False
         while epoch < cfg.epochs and not stop:
             # epochs until the next eval boundary (eval after epochs e with
@@ -549,14 +569,6 @@ class Trainer:
                     if param_stats_fn is not None and verbose:
                         param_stats_fn(state.params, e)
             prev_epoch, epoch = epoch, epoch + chunk
-            if checkpoint_dir is not None and checkpoint_every and (
-                    epoch // checkpoint_every > prev_epoch // checkpoint_every
-                    or epoch == cfg.epochs):
-                from .checkpoint import (save_checkpoint,
-                                         save_checkpoint_async)
-                (save_checkpoint_async if checkpoint_async
-                 else save_checkpoint)(checkpoint_dir, state, tag="last",
-                                       backend=checkpoint_backend)
             if epoch % cfg.eval_every == 0 or epoch == cfg.epochs:
                 ev = self.evaluate(state, dataset)
                 stats_list[-1]["test_acc"] = ev["acc"]
@@ -579,6 +591,22 @@ class Trainer:
                     if verbose:
                         print(f"Early stopping at epoch {epoch}")
                     stop = True
+            # rolling 'last' save AFTER eval so its extra dict carries the
+            # post-eval best_acc/patience_count; also fires on early stop
+            # (the state that triggered the stop must persist — the
+            # docstring's 'once more at the end' guarantee)
+            if checkpoint_dir is not None and checkpoint_every and (
+                    epoch // checkpoint_every > prev_epoch // checkpoint_every
+                    or epoch == cfg.epochs or stop):
+                from .checkpoint import (save_checkpoint,
+                                         save_checkpoint_async)
+                (save_checkpoint_async if checkpoint_async
+                 else save_checkpoint)(
+                    checkpoint_dir, state, tag="last",
+                    backend=checkpoint_backend,
+                    extra={"best_acc": best_acc,
+                           "patience_count": patience_count,
+                           "epoch": epoch})
             if metrics_sink is not None:
                 for i, rec in enumerate(stats_list):
                     metrics_sink.log({"epoch": prev_epoch + i + 1, **rec})

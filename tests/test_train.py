@@ -458,3 +458,56 @@ def test_periodic_checkpoint_and_epoch_resume(key, tmp_path):
     result = trainer.fit(state2, ds, verbose=False)
     assert int(state2.step) == total_steps          # only 2 more epochs ran
     assert len(result["history"]) == 2              # not 4
+
+
+def test_resume_restores_best_acc_and_respects_step_cap(key, tmp_path):
+    """Resume continuity (review findings): the rolling 'last' checkpoint
+    carries best_acc/patience_count, so a resumed run must not clobber a
+    better 'best' checkpoint with a worse model; and the epoch derivation
+    must honor max_steps_per_epoch (--steps runs)."""
+    from cnn_pde_tpu.train.checkpoint import load_checkpoint
+
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=8, synthetic_test_per_class=3)
+    model = MNISTClassifier()
+    cfg = TrainConfig(epochs=2, batch_size=16, eval_every=1, log_every=10**9,
+                      max_steps_per_epoch=1)
+    trainer = Trainer(model, cfg, lambda s: 1e-3)
+    state = trainer.init_state(key, None)
+    trainer.fit(state, ds, verbose=False, checkpoint_dir=str(tmp_path),
+                checkpoint_every=1)
+    payload = load_checkpoint(str(tmp_path), tag="last")
+    extra = payload["extra"]
+    assert extra["best_acc"] > 0.0
+    assert int(state.step) == 2  # capped: 1 step per epoch
+
+    # make the on-disk best artificially better than the resumed run can be
+    better = extra["best_acc"] + 50.0
+    payload["extra"]["best_acc"] = better
+    import pickle
+
+    with open(tmp_path / "last.ckpt", "wb") as f:
+        pickle.dump(payload, f)
+
+    best_bytes = (tmp_path / "best.ckpt").read_bytes()  # pre-crash best
+
+    cfg3 = TrainConfig(epochs=3, batch_size=16, eval_every=1, log_every=10**9,
+                       max_steps_per_epoch=1)
+    trainer3 = Trainer(model, cfg3, lambda s: 1e-3)
+    state3 = trainer3.init_state(jax.random.PRNGKey(7), None)
+    restore_state(state3, str(tmp_path), tag="last")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        result = trainer3.fit(state3, ds, checkpoint_dir=str(tmp_path),
+                              checkpoint_every=1)
+    # derived start epoch honored the step cap: exactly 1 more epoch ran
+    assert "Resuming at epoch 3/3" in buf.getvalue()
+    assert len(result["history"]) == 1
+    # the inherited best_acc was not clobbered: no eval can beat better=
+    # acc+50, so fit reports it unchanged and the pre-crash 'best'
+    # checkpoint file was never overwritten by the (worse) resumed model
+    assert result["best_acc"] == better
+    assert (tmp_path / "best.ckpt").read_bytes() == best_bytes

@@ -254,8 +254,12 @@ def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds):
     for seed in range(seeds):  # one Trainer: the jit'd epoch is reused
         # vary the FULL stream per seed — init AND batch order AND dropout
         # rng (cfg.seed drives the shuffle/rng streams); otherwise all seeds
-        # share one chaotic trajectory and the spread is meaningless
-        trainer.config.seed = seed
+        # share one chaotic trajectory and the spread is meaningless.
+        # seed*1009 keeps the per-epoch shuffle streams (default_rng(
+        # cfg.seed + epoch)) DISJOINT across seeds, mirroring the torch
+        # side's seed*1009+epoch — seed+epoch alone would make seed 1's
+        # epoch-0 permutation reuse seed 0's epoch-1 permutation
+        trainer.config.seed = seed * 1009
         trainer._base_rng = None
         state = trainer.init_state(jax.random.PRNGKey(seed), None)
         for e in range(epochs):
@@ -277,6 +281,9 @@ def main():
                     help="force the jax platform for OUR side (e.g. 'cpu' "
                     "when the TPU tunnel is down; accuracy is platform-"
                     "independent). Must be set before first jax use.")
+    ap.add_argument("--ours-only", action="store_true",
+                    help="skip the torch reference side (spot-check our "
+                         "accuracies alone; no parity verdict)")
     args = ap.parse_args()
 
     if args.platform:
@@ -303,6 +310,12 @@ def main():
         bs = min(fam["batch"], max(n // 4, 8))
         ours_accs, ours_t = train_ours(fam, xs, ys, xt, yt, args.epochs, bs,
                                        args.seeds)
+        if args.ours_only:
+            print(json.dumps({"family": name,
+                              "ours_accs": [round(a, 2) for a in ours_accs],
+                              "ours_mean": round(float(np.mean(ours_accs)), 2),
+                              "ours_wall_s": round(ours_t, 1)}), flush=True)
+            continue
         ref_accs, ref_t = train_reference(fam, xs, ys, xt, yt, args.epochs,
                                           bs, args.seeds)
         quantum = 100.0 / xt.shape[0]  # one test image
