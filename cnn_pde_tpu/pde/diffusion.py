@@ -38,6 +38,16 @@ from .linearize import linearized_apply
 
 __all__ = ["GrayscaleDiffusion", "ChannelCoupledDiffusion", "MixedChannelDiffusion"]
 
+# Unroll factor for the hoisted step scan (lax.scan unroll=).  The hoisted
+# step body is a handful of small matmuls whose cost sits AT the device-loop
+# per-iteration floor (~13 µs/iter, tools/ab_loop_floor.py), so fully
+# unrolling the 4-10-step scan removes loop overhead in both the forward and
+# the transposed backward scan: flagship AMP step 1.74 → 1.62 ms (−7%,
+# tools/ab_hoisted_unroll.py; partial unrolls 2/4 LOSE — they keep the loop
+# and fatten its body).  The non-hoisted scans keep unroll=1 (measured loss
+# there — heavier bodies, PERF.md §negative).  True = full unroll.
+HOISTED_SCAN_UNROLL = True
+
 
 def _coeff_at_times(base, time_coeff, times, eps, cmax=None):
     """Vectorized _coeff_at over a (...,)-shaped stack of static times:
@@ -250,7 +260,7 @@ class GrayscaleDiffusion(Module):
 
             if self.remat:
                 step = jax.checkpoint(step)
-            x, _ = lax.scan(step, x, xs)
+            x, _ = lax.scan(step, x, xs, unroll=HOISTED_SCAN_UNROLL)
             return x[:, None], state
 
         def step(x, t3):
@@ -347,7 +357,7 @@ class ChannelCoupledDiffusion(Module):
                 u = apply_sweep(ops_x1, u, refine=refine)
                 return couple(u), None
 
-            u, _ = lax.scan(step, u, xs)
+            u, _ = lax.scan(step, u, xs, unroll=HOISTED_SCAN_UNROLL)
             s = jax.nn.sigmoid(params["skip_weight"])
             return s * u0 + (1.0 - s) * u, state
 
@@ -489,7 +499,7 @@ class MixedChannelDiffusion(Module):
 
             if self.remat:
                 step = jax.checkpoint(step)
-            u, _ = lax.scan(step, u, xs)
+            u, _ = lax.scan(step, u, xs, unroll=HOISTED_SCAN_UNROLL)
             return u, state
 
         def step(u, t3):
