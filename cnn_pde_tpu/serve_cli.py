@@ -34,6 +34,11 @@ def main():
                     help="restore params/state from this dir (tag 'best'); "
                          "omit for a random-init smoke run")
     ap.add_argument("--tag", default="best")
+    ap.add_argument("--torch-checkpoint", default=None, metavar="PTH",
+                    help="serve weights from a PyTorch reference "
+                         "model.state_dict() checkpoint "
+                         "(compat.load_torch_checkpoint; e.g. the "
+                         "reference's best_model.pth)")
     ap.add_argument("--input", default=None,
                     help=".npy batch (NCHW float32) to predict on")
     ap.add_argument("--output", default="labels",
@@ -80,7 +85,13 @@ def main():
 
     params, state = model.init(jax.random.PRNGKey(0))
     restored = False
-    if args.checkpoint_dir:
+    if args.torch_checkpoint:
+        from .compat import load_torch_checkpoint
+
+        params, state = load_torch_checkpoint(args.torch_checkpoint,
+                                              args.preset)
+        restored = True
+    elif args.checkpoint_dir:
         from .train.checkpoint import load_checkpoint, restore_components
 
         payload = load_checkpoint(args.checkpoint_dir, tag=args.tag)

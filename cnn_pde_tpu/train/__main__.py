@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--checkpoint-backend", default="pickle",
                     choices=["pickle", "orbax"])
+    ap.add_argument("--init-from-torch", default=None, metavar="PTH",
+                    help="warm-start from a PyTorch reference "
+                         "model.state_dict() checkpoint "
+                         "(compat.load_torch_checkpoint); fresh optimizer")
     ap.add_argument("--resume", action="store_true",
                     help="restore from checkpoint-dir ('last' if present, "
                          "else 'best') and continue from the first "
@@ -132,7 +136,15 @@ def main():
     trainer = Trainer(model, config, schedule, augment_fn=augment_fn,
                       mesh=mesh, tp=args.tp > 1)
 
-    state = trainer.init_state(jax.random.PRNGKey(args.seed), None)
+    initial = None
+    if args.init_from_torch:
+        from ..compat import load_torch_checkpoint
+
+        initial = load_torch_checkpoint(args.init_from_torch, args.preset)
+        print(f"Warm-start: imported torch checkpoint "
+              f"{args.init_from_torch}")
+    state = trainer.init_state(jax.random.PRNGKey(args.seed), None,
+                               initial=initial)
     if args.resume and args.checkpoint_dir:
         import os
 

@@ -106,8 +106,21 @@ class Trainer:
 
     # ---------------- initialization ----------------
 
-    def init_state(self, key, sample_batch) -> TrainState:
+    def init_state(self, key, sample_batch, initial=None) -> TrainState:
+        """``initial``: optional (params, model_state) to warm-start from —
+        e.g. a reference torch checkpoint via compat.load_torch_checkpoint;
+        must match the model's own init structure.  Optimizer state is
+        freshly initialized either way (composes with the TP sharding
+        path below)."""
         params, model_state = self.model.init(key)
+        if initial is not None:
+            init_p, init_ms = initial
+            ts = jax.tree_util.tree_structure
+            if ts(init_p) != ts(params) or ts(init_ms) != ts(model_state):
+                raise ValueError(
+                    "init_state(initial=...) trees do not match the "
+                    "model's own init structure")
+            params, model_state = init_p, init_ms
         opt = self._optimizer(params)
         if self.mesh is not None and self.tp:
             # Commit the TP layout up front; opt state init'd under jit
