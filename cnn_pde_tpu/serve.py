@@ -25,17 +25,47 @@ __all__ = ["make_predict_fn", "cache_hoisted_operators",
            "clear_linear_cache", "export_model", "load_exported"]
 
 
-def make_predict_fn(model, params, state, output="logits", mesh=None):
+def _pinned_caches(model):
+    """[(layer, attr)] for every pinned frozen-params serving cache."""
+    from .pde.amp import iter_adi_layers
+    from .pde.linearize import iter_linear_pde_layers
+
+    pins = [(lay, "linear_cache") for lay in iter_linear_pde_layers(model)
+            if getattr(lay, "linear_cache", None) is not None]
+    pins += [(lay, "operator_cache") for lay in iter_adi_layers(model)
+             if getattr(lay, "operator_cache", None) is not None]
+    return pins
+
+
+def make_predict_fn(model, params, state, output="logits", mesh=None,
+                    bind="args"):
     """output: 'logits' | 'probs' | 'labels'.
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis — batched
     data-parallel serving: the request batch is sharded over 'data', params
     replicated, outputs sharded; XLA runs each shard's forward on its own
     chip with no collectives (inference has no gradient all-reduce).  The
-    batch size must be divisible by the 'data' axis size."""
+    batch size must be divisible by the 'data' axis size.
 
-    def predict_impl(images):
-        logits, _ = model.apply(params, state, images, Ctx(train=False))
+    ``bind``: how weights (params/state and any pinned linear/operator
+    caches) enter the jitted graph.  'args' (default) passes them as jit
+    ARGUMENTS — measured faster than closure constants on TPU for the
+    linearized path (flagship bs 64: 0.093 vs 0.140 ms/batch, and bf16
+    matrices recover their small-batch traffic win only as arguments —
+    PERF.md §linearized, tools/ab_serve_args.py); 'const' embeds them as
+    jaxpr constants (the pre-round-2 behavior, kept for A/B)."""
+    pins = _pinned_caches(model)
+    caches = [getattr(lay, attr) for lay, attr in pins]
+
+    def forward(p, s, cs, images):
+        saved = [getattr(lay, attr) for lay, attr in pins]
+        try:
+            for (lay, attr), c in zip(pins, cs):
+                setattr(lay, attr, c)  # tracers during trace
+            logits, _ = model.apply(p, s, images, Ctx(train=False))
+        finally:
+            for (lay, attr), c0 in zip(pins, saved):
+                setattr(lay, attr, c0)
         if output == "probs":
             return jax.nn.softmax(logits, axis=-1)
         if output == "labels":
@@ -43,13 +73,34 @@ def make_predict_fn(model, params, state, output="logits", mesh=None):
         return logits
 
     if mesh is None:
-        return jax.jit(predict_impl)
+        batch_s = rep_s = None
+    else:
+        from .parallel.mesh import dp_shardings
 
-    from .parallel.mesh import dp_shardings
+        batch_s, rep_s = dp_shardings(mesh)
 
-    batch_s, _ = dp_shardings(mesh)
-    return jax.jit(predict_impl, in_shardings=(batch_s,),
-                   out_shardings=batch_s)
+    if bind == "const":
+        impl = lambda images: forward(params, state, caches, images)
+        if mesh is None:
+            return jax.jit(impl)
+        return jax.jit(impl, in_shardings=(batch_s,), out_shardings=batch_s)
+    if bind != "args":
+        raise ValueError(f"bind must be 'args' or 'const', got {bind!r}")
+
+    if mesh is None:
+        jitted = jax.jit(forward)
+    else:
+        jitted = jax.jit(forward,
+                         in_shardings=(rep_s, rep_s, rep_s, batch_s),
+                         out_shardings=batch_s)
+    fn = lambda images: jitted(params, state, caches, images)
+    # expose the unbound forward + weight pytree so callers embedding the
+    # predict inside an OUTER jit (e.g. a chained steady-state loop) can
+    # thread the weights through their own boundary as arguments — closing
+    # over `fn` would re-constify them there
+    fn.forward = forward
+    fn.argtree = (params, state, caches)
+    return fn
 
 
 def cache_hoisted_operators(model, params, state, sample_images):

@@ -53,6 +53,11 @@ def main():
                     help="collapse each linear PDE layer's whole evolution "
                          "into one composed matmul (frozen-params serving; "
                          "serve.linearize_pde_layers)")
+    ap.add_argument("--linearize-bf16", action="store_true",
+                    help="with --linearize: store the composed matrices in "
+                         "bf16 (f32 accumulation) — the measured serving "
+                         "champion (PERF.md §serving-args); AMP-grade "
+                         "numerics")
     ap.add_argument("--dp", action="store_true",
                     help="shard the batch over all visible devices")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
@@ -113,7 +118,9 @@ def main():
     if args.linearize:
         from .serve import linearize_pde_layers
 
-        n_linearized = linearize_pde_layers(model, params, state, images)
+        n_linearized = linearize_pde_layers(
+            model, params, state, images,
+            dtype=jnp.bfloat16 if args.linearize_bf16 else None)
     else:
         n_linearized = 0
 

@@ -102,15 +102,23 @@ def main():
                 g.random((bs, channels, size, size)).astype(np.float32))
             predict = make_predict_fn(model, params, state, output="labels")
 
-            # throughput: chained batches in one dispatch
+            # throughput: chained batches in one dispatch.  Thread the
+            # weights through the outer jit as ARGUMENTS (predict.argtree)
+            # — tracing predict inline would re-constify them, and
+            # closure-constant weights measure up to 50% slower in this
+            # regime (PERF.md §serving-args, tools/ab_serve_args.py)
+            fwd, tree = predict.forward, predict.argtree
+
             @jax.jit
-            def run_n(x):
+            def run_n(tree, x):
                 def body(i, x):
-                    lbl = predict(x)  # traced inline under the outer jit
+                    lbl = fwd(*tree, x)
                     # fold the labels back in so the chain has a dependence
                     return x + 1e-12 * lbl[:, None, None, None].astype(x.dtype)
                 return jax.lax.fori_loop(0, args.n, body, x)
 
+            run_n_ = run_n
+            run_n = lambda x: run_n_(tree, x)
             out = run_n(images)
             float(jnp.sum(out))
             best = float("inf")
