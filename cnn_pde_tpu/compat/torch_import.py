@@ -39,7 +39,8 @@ import numpy as np
 
 import jax
 
-__all__ = ["import_state_dict", "load_torch_checkpoint", "TORCH_KEY_REWRITES"]
+__all__ = ["import_state_dict", "export_state_dict",
+           "load_torch_checkpoint", "TORCH_KEY_REWRITES"]
 
 # Per-preset ordered (pattern, replacement) regex rewrites taking OUR dotted
 # param/state paths to the reference's state_dict namespace.  The leaf-name
@@ -193,6 +194,36 @@ def import_state_dict(state_dict, preset):
             f"{name}: {len(extra)} checkpoint keys were not consumed "
             f"(wrong family or architecture mismatch): {extra[:10]}")
     return params, state
+
+
+def export_state_dict(params, state, preset):
+    """The inverse of ``import_state_dict``: our ``(params, state)`` as a
+    reference-layout state_dict of numpy arrays (Linear weights transposed
+    back to (out, in), BN params/state re-merged, plus zero
+    ``num_batches_tracked`` counters so ``ref_model.load_state_dict`` needs
+    no ``strict=False``).  ``torch.save(export_state_dict(...), path)``
+    produces a checkpoint the reference scripts load directly — migration
+    works in BOTH directions.
+
+    Buffers our layers reconstruct from hyperparameters (_SKIP_KEYS, e.g.
+    the emotion layer's coordinate grids) are NOT emitted — load those
+    models with ``strict=False`` or keep the torch model's own buffers
+    (they are input-independent constants).
+    """
+    rewrites = TORCH_KEY_REWRITES[preset]
+    sd = {}
+    for path, leaf in _flatten(params).items():
+        v = np.asarray(leaf)
+        if path.rsplit(".", 1)[-1] == "w" and v.ndim == 2:
+            v = np.ascontiguousarray(v.T)
+        sd[_torch_key(path, rewrites, is_state=False)] = v
+    for path, leaf in _flatten(state).items():
+        sd[_torch_key(path, rewrites, is_state=True)] = np.asarray(leaf)
+        bn_prefix = _torch_key(path, rewrites, is_state=True).rsplit(
+            ".", 1)[0]
+        sd.setdefault(f"{bn_prefix}.num_batches_tracked",
+                      np.zeros((), np.int64))
+    return sd
 
 
 def load_torch_checkpoint(path, preset):

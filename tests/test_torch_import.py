@@ -115,3 +115,45 @@ def test_round_trip_no_torch():
 def test_wrong_family_raises():
     with pytest.raises((KeyError, ValueError)):
         import_state_dict({"fc1.weight": np.zeros((2, 2))}, "mnist")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference mount absent")
+@pytest.mark.parametrize("preset,script,cls,shape,tol",
+                         [f for f in FAMILIES
+                          if f[0] in ("mnist", "svhn", "emotion")],
+                         ids=lambda f: str(f))
+def test_export_loads_into_reference_model(preset, script, cls, shape, tol):
+    """The REVERSE direction: our trained weights exported to the torch
+    layout must load_state_dict into the actual reference model and give
+    the same logits — migration works both ways."""
+    torch = pytest.importorskip("torch")
+    from tests.test_reference_parity import _load_ref
+    from cnn_pde_tpu.compat import export_state_dict
+    from cnn_pde_tpu.models import MODEL_REGISTRY
+    from cnn_pde_tpu.utils.config import get_preset
+
+    cfg = get_preset(preset)
+    model = MODEL_REGISTRY[cfg.model](**cfg.model_kwargs)
+    params, state = model.init(jax.random.PRNGKey(11))
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_state_dict(params, state, preset).items()}
+    ref_mod = _load_ref(script)
+    torch.manual_seed(0)
+    ref_model = getattr(ref_mod, cls)()
+    # strict=False only tolerates buffers our layers reconstruct from
+    # hyperparameters (emotion's coordinate grids) — assert exactly that
+    missing, unexpected = ref_model.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    assert all(k in ("pde.x", "pde.y") for k in missing), missing
+    ref_model.eval()
+
+    x = np.random.default_rng(1).random(shape).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref_model(torch.from_numpy(x)).numpy()
+    logits, _ = model.apply(params, state, jnp.asarray(x), Ctx(train=False))
+    # random-init emotion logits reach ~2e4, so compare relatively:
+    # accumulation-order noise scales with magnitude (a mapping error
+    # would be orders of magnitude larger)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               rtol=1e-4, atol=tol)
