@@ -21,6 +21,15 @@ from jax import lax
 
 __all__ = ["ftcs_evolve", "laplacian_step", "laplacian"]
 
+# lax.scan unroll= for the FTCS step loop.  The step body is light
+# elementwise work near the device-loop per-iteration floor
+# (tools/ab_loop_floor.py: ~13 µs/iter regardless of body), so fully
+# unrolling the 10-step emotion evolution deletes loop overhead in both
+# the forward and the transposed backward scan: emotion train step
+# 0.353 → 0.330 ms (−6.7%, tools/ab_ftcs_unroll.py; recheck 0.351
+# confirms the window).  True = full unroll; semantics-preserving.
+FTCS_SCAN_UNROLL = True
+
 
 def ftcs_evolve(u: jnp.ndarray, alpha_grid: jnp.ndarray, beta_grid: jnp.ndarray,
                 nt: int) -> jnp.ndarray:
@@ -54,7 +63,7 @@ def ftcs_evolve(u: jnp.ndarray, alpha_grid: jnp.ndarray, beta_grid: jnp.ndarray,
         u_yy = u_lf + u_rt - 2.0 * ui
         return ui + alpha_grid * u_xx + beta_grid * u_yy, None
 
-    ui, _ = lax.scan(body, u, None, length=nt)
+    ui, _ = lax.scan(body, u, None, length=nt, unroll=FTCS_SCAN_UNROLL)
     return ui
 
 
