@@ -90,8 +90,11 @@ def make_predict_fn(model, params, state, output="logits", mesh=None,
     if mesh is None:
         jitted = jax.jit(forward)
     else:
+        # weights keep their own committed shardings (replicated under DP,
+        # column/row-sharded under TP — tp_serving test); only the request
+        # batch and outputs are constrained
         jitted = jax.jit(forward,
-                         in_shardings=(rep_s, rep_s, rep_s, batch_s),
+                         in_shardings=(None, None, None, batch_s),
                          out_shardings=batch_s)
     fn = lambda images: jitted(params, state, caches, images)
     # expose the unbound forward + weight pytree so callers embedding the

@@ -18,6 +18,10 @@ training CLI:
 * ``--dp``             shard the request batch over all visible devices
 * ``--http PORT``      production HTTP endpoint (stdlib ThreadingHTTPServer):
                        POST /predict with a .npy or JSON batch, GET /healthz
+* ``--microbatch N``   dynamic batching for --http: concurrent requests
+                       coalesce into one device dispatch of up to N rows
+                       (serve_batch.MicroBatcher; add ~--microbatch-wait-ms
+                       latency, amortizes the per-dispatch fixed cost)
 * no flags             smoke: predict on a random batch and print a summary
 """
 
@@ -63,6 +67,12 @@ def main():
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
                     help="serve over HTTP: POST /predict (.npy or JSON "
                          "batch), GET /healthz — blocks until Ctrl-C")
+    ap.add_argument("--microbatch", type=int, default=0, metavar="N",
+                    help="with --http: coalesce concurrent requests into "
+                         "one device dispatch of up to N rows "
+                         "(serve_batch.MicroBatcher)")
+    ap.add_argument("--microbatch-wait-ms", type=float, default=2.0,
+                    help="max added latency while waiting to coalesce")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -143,7 +153,9 @@ def main():
                for o in ("labels", "probs", "logits")}
         for fn in fns.values():
             fn(images)  # warm each served fn's compile before traffic
-        serve_http(fns, port=args.http, default_output=args.output)
+        serve_http(fns, port=args.http, default_output=args.output,
+                   microbatch=args.microbatch,
+                   microbatch_wait_ms=args.microbatch_wait_ms)
         return
 
     out = np.asarray(predict(images))
