@@ -16,8 +16,11 @@ the first waiting request, drains whatever else arrives within
 ``max_wait_ms`` (up to ``max_batch`` rows), concatenates along axis 0,
 PADS the total to the next size in ``buckets`` (so jit sees a few fixed
 shapes, not one compile per distinct total), runs ONE predict, and
-scatters the slices back.  Identity semantics: outputs equal per-request
-calls exactly (padding rows are discarded; tested).
+scatters the slices back.  Up to ``pipeline`` coalesced batches dispatch
+concurrently (a small thread pool), so successive device round trips
+overlap instead of serializing behind each blocking fetch.  Identity
+semantics: outputs equal per-request calls exactly (padding rows are
+discarded; tested).
 
 Use via ``serve_http(..., microbatch=...)`` / the serve CLI's
 ``--microbatch`` or directly:
@@ -33,6 +36,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -55,13 +59,15 @@ class MicroBatcher:
     """Thread-safe dynamic batching wrapper around a batched predict fn.
 
     ``buckets``: ascending batch sizes to pad dispatch totals to (caps jit
-    compile count).  Totals above the largest bucket are split across
-    multiple dispatches.  ``max_wait_ms`` bounds added latency: the first
+    compile count).  Totals above the largest bucket dispatch unpadded
+    (one extra compile per distinct oversize total — rare, since
+    ``_collect`` stops draining at ``max_batch`` rows and max_batch is
+    always a bucket).  ``max_wait_ms`` bounds added latency: the first
     request in a batch waits at most this long for company.
     """
 
     def __init__(self, predict_fn, max_batch=64, max_wait_ms=2.0,
-                 buckets=(1, 8, 32, 64)):
+                 buckets=(1, 8, 32, 64), pipeline=2):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.predict_fn = predict_fn
@@ -73,6 +79,17 @@ class MicroBatcher:
         self.n_requests = 0
         self._q = queue.Queue()
         self._closed = False
+        # ``pipeline`` coalesced batches may be in flight at once: the
+        # collector thread hands each batch to this pool and immediately
+        # goes back to draining the queue, so the NEXT batch's device
+        # round trip overlaps the previous one's (on a tunneled TPU a
+        # blocking fetch is ~24 ms — serial dispatch would cap throughput
+        # at 1/RTT regardless of coalescing).  pipeline=1 restores strict
+        # serial dispatch.
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(1, int(pipeline)),
+            thread_name_prefix="microbatch-dispatch")
+        self._stats_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -98,6 +115,7 @@ class MicroBatcher:
             self._closed = True
             self._q.put(_SENTINEL)
             self._worker.join(timeout=10)
+            self._pool.shutdown(wait=True)
 
     def __enter__(self):
         return self
@@ -141,12 +159,15 @@ class MicroBatcher:
             batch = self._collect()
             if batch is None:
                 return
-            try:
-                self._dispatch(batch)
-            except Exception as e:  # surface to every waiter, keep serving
-                for req in batch:
-                    req.error = e
-                    req.event.set()
+            self._pool.submit(self._dispatch_safe, batch)
+
+    def _dispatch_safe(self, batch):
+        try:
+            self._dispatch(batch)
+        except Exception as e:  # surface to every waiter, keep serving
+            for req in batch:
+                req.error = e
+                req.event.set()
 
     def _dispatch(self, batch):
         arrays = [req.array for req in batch]
@@ -160,8 +181,9 @@ class MicroBatcher:
                                   (target - total,) + stacked.shape[1:])
             stacked = np.concatenate([stacked, pad])
         out = np.asarray(self.predict_fn(stacked))
-        self.n_dispatches += 1
-        self.n_requests += len(batch)
+        with self._stats_lock:
+            self.n_dispatches += 1
+            self.n_requests += len(batch)
         ofs = 0
         for req, arr in zip(batch, arrays):
             b = arr.shape[0]

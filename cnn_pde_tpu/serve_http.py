@@ -124,6 +124,10 @@ class PredictServer:
     def shutdown(self):
         self.httpd.shutdown()
         self.httpd.server_close()
+        for fn in self.predict_fns.values():
+            close = getattr(fn, "close", None)  # MicroBatcher workers
+            if callable(close):
+                close()
 
 
 def serve_http(predict_fns, host="127.0.0.1", port=8000, background=False,
