@@ -54,6 +54,15 @@ class PredictServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 => persistent connections: a client reusing its
+            # connection skips the per-request TCP handshake AND the
+            # per-connection handler-thread spawn (ThreadingHTTPServer
+            # spawns one thread per CONNECTION, not per request) — the
+            # front-end ceiling under concurrent single-image clients
+            # roughly doubles (PERF.md §http-microbatching).  Safe because
+            # _send always sets Content-Length.
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet by default
                 pass
 

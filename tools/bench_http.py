@@ -29,53 +29,77 @@ import os
 import sys
 import threading
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _post_npy(url, arr, retries=8):
-    """POST one batch; retries connection drops (the stdlib server's
-    listen backlog is 5, so a thundering herd of clients can get RSTs —
-    a real client would retry too, and the retries are timed as part of
-    the serving cost)."""
-    import numpy as np
+class _Client:
+    """One keep-alive connection (HTTP/1.1 persistent) per worker thread;
+    reconnects on drops (the stdlib server's listen backlog is 5, so a
+    thundering herd of FRESH connections gets RSTs — with keep-alive each
+    worker connects once and reuses, which is also what a real serving
+    client does; retries are timed as part of the serving cost)."""
 
-    buf = io.BytesIO()
-    np.save(buf, arr)
-    req = urllib.request.Request(
-        url, data=buf.getvalue(),
-        headers={"Content-Type": "application/x-npy",
-                 "Accept": "application/x-npy"})
-    for attempt in range(retries):
-        try:
-            with urllib.request.urlopen(req) as resp:
-                return np.load(io.BytesIO(resp.read()), allow_pickle=False)
-        except (ConnectionError, urllib.error.URLError) as e:
-            if attempt == retries - 1:
-                raise
-            time.sleep(0.005 * (attempt + 1))
+    def __init__(self, host, port):
+        self.host, self.port = host, port
+        self.conn = None
+
+    def post_npy(self, arr, retries=8):
+        import http.client
+
+        import numpy as np
+
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        body = buf.getvalue()
+        headers = {"Content-Type": "application/x-npy",
+                   "Accept": "application/x-npy"}
+        for attempt in range(retries):
+            try:
+                if self.conn is None:
+                    self.conn = http.client.HTTPConnection(
+                        self.host, self.port, timeout=60)
+                self.conn.request("POST", "/predict", body, headers)
+                resp = self.conn.getresponse()
+                data = resp.read()  # must drain to reuse the connection
+                if resp.status != 200:
+                    raise RuntimeError(f"HTTP {resp.status}: {data[:200]}")
+                return np.load(io.BytesIO(data), allow_pickle=False)
+            except (ConnectionError, http.client.HTTPException, OSError):
+                self.close()
+                if attempt == retries - 1:
+                    raise
+                time.sleep(0.005 * (attempt + 1))
+
+    def close(self):
+        if self.conn is not None:
+            self.conn.close()
+            self.conn = None
 
 
-def _drive(url, images, n_requests, concurrency):
-    """Fire n_requests single-image posts from `concurrency` threads;
-    returns (wall_s, results list ordered by request index)."""
+def _drive(host, port, images, n_requests, concurrency):
+    """Fire n_requests single-image posts from `concurrency` keep-alive
+    clients; returns (wall_s, results list ordered by request index)."""
     results = [None] * n_requests
     errors = []
     it = iter(range(n_requests))
     lock = threading.Lock()
 
     def worker():
-        while True:
-            with lock:
-                i = next(it, None)
-            if i is None:
-                return
-            try:
-                results[i] = _post_npy(url, images[i % len(images)])
-            except Exception as e:  # pragma: no cover - surfaced below
-                errors.append(e)
-                return
+        client = _Client(host, port)
+        try:
+            while True:
+                with lock:
+                    i = next(it, None)
+                if i is None:
+                    return
+                try:
+                    results[i] = client.post_npy(images[i % len(images)])
+                except Exception as e:  # pragma: no cover - surfaced below
+                    errors.append(e)
+                    return
+        finally:
+            client.close()
 
     threads = [threading.Thread(target=worker) for _ in range(concurrency)]
     t0 = time.perf_counter()
@@ -142,9 +166,11 @@ def main():
     for mode, mb in (("sequential", 0), ("microbatch", args.microbatch)):
         server = serve_http({"labels": predict}, port=0, background=True,
                             microbatch=mb, microbatch_wait_ms=args.wait_ms)
-        url = f"http://{server.host}:{server.port}/predict"
-        _drive(url, images, min(32, args.requests), args.concurrency)  # warm
-        wall, results = _drive(url, images, args.requests, args.concurrency)
+        host, port = server.host, server.port
+        _drive(host, port, images, min(32, args.requests),
+               args.concurrency)  # warm
+        wall, results = _drive(host, port, images, args.requests,
+                               args.concurrency)
         dispatches = args.requests
         if mb:
             batchers = list(server.predict_fns.values())
