@@ -80,3 +80,40 @@ def test_http_health_and_errors(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(f"{base}/nowhere", timeout=60)
     assert e.value.code == 404
+
+
+def test_http_keep_alive_connection_reuse(server, rng):
+    """HTTP/1.1 keep-alive: one socket serves many requests (2-2.5x
+    front-end throughput, PERF.md §http-serving) — and a request after an
+    error response still works on the same connection (Content-Length is
+    set on every path, so the stream stays framed)."""
+    import http.client
+
+    srv, fns = server
+    conn = http.client.HTTPConnection(srv.host, srv.port, timeout=60)
+    sockets = set()
+    for _ in range(3):
+        img = rng.random((1, 1, 28, 28)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        conn.request("POST", "/predict?output=labels", buf.getvalue(),
+                     {"Content-Type": "application/x-npy",
+                      "Accept": "application/x-npy"})
+        r = conn.getresponse()
+        data = r.read()
+        assert r.status == 200 and r.version == 11
+        np.testing.assert_array_equal(
+            np.load(io.BytesIO(data), allow_pickle=False),
+            np.asarray(fns["labels"](img)))
+        sockets.add(id(conn.sock))
+
+    conn.request("POST", "/predict", b"not npy",
+                 {"Content-Type": "application/x-npy"})
+    r = conn.getresponse()
+    assert r.status == 400 and b"bad batch" in r.read()
+    conn.request("GET", "/healthz")
+    r = conn.getresponse()
+    assert r.status == 200 and json.loads(r.read())["ok"]
+    sockets.add(id(conn.sock))
+    conn.close()
+    assert len(sockets) == 1, f"socket not reused: {len(sockets)}"
