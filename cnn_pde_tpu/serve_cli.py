@@ -73,6 +73,9 @@ def main():
                          "(serve_batch.MicroBatcher)")
     ap.add_argument("--microbatch-wait-ms", type=float, default=2.0,
                     help="max added latency while waiting to coalesce")
+    ap.add_argument("--microbatch-pipeline", type=int, default=2,
+                    help="coalesced batches allowed in flight at once "
+                         "(overlaps device round trips; 1 = serial)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -155,7 +158,8 @@ def main():
             fn(images)  # warm each served fn's compile before traffic
         serve_http(fns, port=args.http, default_output=args.output,
                    microbatch=args.microbatch,
-                   microbatch_wait_ms=args.microbatch_wait_ms)
+                   microbatch_wait_ms=args.microbatch_wait_ms,
+                   microbatch_pipeline=args.microbatch_pipeline)
         return
 
     out = np.asarray(predict(images))

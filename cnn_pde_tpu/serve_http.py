@@ -140,7 +140,8 @@ class PredictServer:
 
 
 def serve_http(predict_fns, host="127.0.0.1", port=8000, background=False,
-               default_output=None, microbatch=0, microbatch_wait_ms=2.0):
+               default_output=None, microbatch=0, microbatch_wait_ms=2.0,
+               microbatch_pipeline=2):
     """Start serving; returns the PredictServer.  ``background=True`` runs
     the accept loop in a daemon thread (for tests / embedding);
     ``default_output`` names the fn served when /predict has no ?output=.
@@ -148,15 +149,17 @@ def serve_http(predict_fns, host="127.0.0.1", port=8000, background=False,
     ``microbatch`` > 0 wraps every predict fn in a ``MicroBatcher``
     (serve_batch.py): concurrent requests coalesce into one padded device
     dispatch of up to that many rows, waiting at most
-    ``microbatch_wait_ms`` for company — the win scales with the
-    per-dispatch fixed cost (≈24 ms on a tunneled TPU)."""
+    ``microbatch_wait_ms`` for company, with up to ``microbatch_pipeline``
+    coalesced batches in flight at once — cuts device dispatches ~10x
+    under concurrent single-image load (PERF.md §http-serving)."""
     if microbatch:
         from .serve_batch import MicroBatcher
 
         if callable(predict_fns):
             predict_fns = {"default": predict_fns}
         predict_fns = {name: MicroBatcher(fn, max_batch=microbatch,
-                                          max_wait_ms=microbatch_wait_ms)
+                                          max_wait_ms=microbatch_wait_ms,
+                                          pipeline=microbatch_pipeline)
                        for name, fn in predict_fns.items()}
     server = PredictServer(predict_fns, host=host, port=port,
                            default_output=default_output)
