@@ -10,6 +10,8 @@ network-facing complement to ``serve.make_predict_fn``:
                     {"output": ..., "shape": ..., "data": [...]} or, with
                     Accept: application/x-npy, raw .npy bytes.
     GET  /healthz   {"ok": true, "requests": N}
+    GET  /metrics   request/image counts, recent predict-latency
+                    percentiles, micro-batch coalescing stats
 
 Design notes: requests are served sequentially by a ThreadingHTTPServer
 whose handler funnels through one jit'd predict fn — JAX dispatch is
@@ -21,9 +23,11 @@ after), exactly like any jit'd callable.
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -50,6 +54,8 @@ class PredictServer:
             raise ValueError(f"default_output {self.default_output!r} not in "
                              f"{sorted(predict_fns)}")
         self.n_requests = 0
+        self.n_images = 0
+        self._latencies_ms = collections.deque(maxlen=2048)  # recent window
         self._count_lock = threading.Lock()
         outer = self
 
@@ -76,10 +82,13 @@ class PredictServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path.split("?")[0] == "/healthz":
+                path = self.path.split("?")[0]
+                if path == "/healthz":
                     self._send(200, {"ok": True,
                                      "requests": outer.n_requests,
                                      "outputs": sorted(outer.predict_fns)})
+                elif path == "/metrics":
+                    self._send(200, outer.metrics())
                 else:
                     self._send(404, {"error": "not found"})
 
@@ -105,12 +114,16 @@ class PredictServer:
                         batch = np.load(io.BytesIO(raw), allow_pickle=False)
                 except Exception as e:  # malformed body is a client error
                     return self._send(400, {"error": f"bad batch: {e}"})
+                t0 = time.perf_counter()
                 try:
                     out = np.asarray(fn(batch))
                 except Exception as e:  # shape/dtype mismatch etc.
                     return self._send(400, {"error": f"predict failed: {e}"})
-                with outer._count_lock:  # handler threads share the counter
+                dt_ms = (time.perf_counter() - t0) * 1e3
+                with outer._count_lock:  # handler threads share the counters
                     outer.n_requests += 1
+                    outer.n_images += int(batch.shape[0])
+                    outer._latencies_ms.append(dt_ms)
                 if "application/x-npy" in self.headers.get("Accept", ""):
                     buf = io.BytesIO()
                     np.save(buf, out)
@@ -121,6 +134,34 @@ class PredictServer:
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self.httpd.server_address[:2]
+
+    def metrics(self):
+        """Serving observability snapshot (also served at GET /metrics):
+        request/image counts, recent predict-latency percentiles (host-
+        observed, includes any micro-batch coalescing wait), and — when
+        predict fns are MicroBatchers — the device-dispatch statistics
+        that show the coalescing ratio."""
+        with self._count_lock:
+            lat = sorted(self._latencies_ms)
+            out = {"requests": self.n_requests, "images": self.n_images}
+        if lat:
+            def pct(p):
+                return round(lat[min(len(lat) - 1,
+                                     int(p / 100.0 * len(lat)))], 3)
+
+            out["predict_ms"] = {"mean": round(sum(lat) / len(lat), 3),
+                                 "p50": pct(50), "p95": pct(95),
+                                 "p99": pct(99), "window": len(lat)}
+        mb = {"dispatches": 0, "requests": 0}
+        for fn in self.predict_fns.values():
+            if hasattr(fn, "n_dispatches"):  # MicroBatcher
+                mb["dispatches"] += fn.n_dispatches
+                mb["requests"] += fn.n_requests
+        if mb["requests"]:
+            mb["coalescing"] = round(mb["requests"]
+                                     / max(mb["dispatches"], 1), 2)
+            out["microbatch"] = mb
+        return out
 
     def serve_forever(self):
         self.httpd.serve_forever()

@@ -117,3 +117,43 @@ def test_http_keep_alive_connection_reuse(server, rng):
     sockets.add(id(conn.sock))
     conn.close()
     assert len(sockets) == 1, f"socket not reused: {len(sockets)}"
+
+
+def test_http_metrics_endpoint(server, rng):
+    """GET /metrics: counts, latency percentiles; with a MicroBatcher
+    wrapped in, the coalescing ratio appears too."""
+    srv, _ = server
+    base = f"http://{srv.host}:{srv.port}"
+    img = rng.random((3, 1, 28, 28)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, img)
+    _post(f"{base}/predict?output=labels", buf.getvalue(),
+          "application/x-npy").read()
+    with urllib.request.urlopen(f"{base}/metrics", timeout=60) as r:
+        m = json.load(r)
+    assert m["requests"] >= 1 and m["images"] >= 3
+    lat = m["predict_ms"]
+    assert 0 < lat["p50"] <= lat["p95"] <= lat["p99"]
+    assert lat["window"] >= 1 and lat["mean"] > 0
+    assert "microbatch" not in m  # plain fns: no dispatch stats
+
+    from cnn_pde_tpu.serve_batch import MicroBatcher
+    from cnn_pde_tpu.serve_http import serve_http
+
+    mb_srv = serve_http({"labels": MicroBatcher(
+        lambda x: np.zeros(x.shape[0]), max_batch=8)}, port=0,
+        background=True)
+    try:
+        buf = io.BytesIO()
+        np.save(buf, img)
+        _post(f"http://{mb_srv.host}:{mb_srv.port}/predict",
+              buf.getvalue(), "application/x-npy").read()
+        with urllib.request.urlopen(
+                f"http://{mb_srv.host}:{mb_srv.port}/metrics",
+                timeout=60) as r:
+            m = json.load(r)
+        assert m["microbatch"]["requests"] == 1
+        assert m["microbatch"]["dispatches"] == 1
+        assert m["microbatch"]["coalescing"] == 1.0
+    finally:
+        mb_srv.shutdown()
