@@ -1,7 +1,8 @@
 """L4 train/eval engine."""
 
 from .checkpoint import load_checkpoint, restore_state, save_checkpoint
-from .loop import TrainConfig, Trainer, TrainState, pde_param_stats
+from .loop import (GracefulPreemption, TrainConfig, Trainer, TrainState,
+                   pde_param_stats)
 from .losses import cross_entropy, hybrid_pde_regularization
 from .metrics import classification_report, confusion_matrix, per_class_accuracy
 from .optim import ParamGroup, build_optimizer
@@ -13,6 +14,7 @@ __all__ = [
     "load_checkpoint",
     "restore_state",
     "save_checkpoint",
+    "GracefulPreemption",
     "TrainConfig",
     "Trainer",
     "TrainState",

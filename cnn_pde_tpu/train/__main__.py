@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--checkpoint-every", type=int, default=None,
                     help="also save a rolling 'last' checkpoint every N "
                          "epochs (fault tolerance; pairs with --resume)")
+    ap.add_argument("--no-preemption-handler", action="store_true",
+                    help="do NOT catch SIGTERM/SIGINT for a graceful "
+                         "stop-checkpoint-exit at the next chunk boundary "
+                         "(on by default: TPU maintenance/spot reclaims "
+                         "send SIGTERM; pairs with --resume)")
     ap.add_argument("--metrics-out", default=None,
                     help="stream per-epoch metrics to this path "
                          "(.jsonl/.csv; a directory means TensorBoard)")
@@ -166,23 +171,35 @@ def main():
         from .sinks import sink_from_path
 
         sink = sink_from_path(args.metrics_out)
+    from .loop import GracefulPreemption
+
     t0 = time.time()
+    preemption = (None if args.no_preemption_handler
+                  else GracefulPreemption(verbose=not args.quiet))
     try:
+        if preemption is not None:
+            preemption.__enter__()
         result = trainer.fit(state, dataset, verbose=not args.quiet,
                              checkpoint_dir=args.checkpoint_dir,
                              checkpoint_backend=args.checkpoint_backend,
                              checkpoint_async=args.async_checkpoint,
                              checkpoint_every=args.checkpoint_every,
-                             param_stats_fn=stats_fn, metrics_sink=sink)
+                             param_stats_fn=stats_fn, metrics_sink=sink,
+                             preemption=preemption)
     finally:
+        if preemption is not None:
+            preemption.__exit__()
         if sink is not None:
             sink.close()
-    print(json.dumps({
+    out = {
         "preset": preset.name,
         "best_acc": result["best_acc"],
         "wall_s": round(time.time() - t0, 2),
         "epochs": len(result["history"]),
-    }))
+    }
+    if result.get("preempted"):
+        out["preempted"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -28,6 +28,55 @@ from ..nn.core import Ctx, Module, param_path_items
 from .losses import cross_entropy
 from .optim import ParamGroup, build_optimizer
 
+
+class GracefulPreemption:
+    """Latch SIGTERM/SIGINT into a flag so ``Trainer.fit(preemption=...)``
+    can stop at the next chunk boundary, checkpoint, and return cleanly —
+    the TPU-pod preemption story (maintenance events / spot reclaims send
+    SIGTERM; the reference's loops would lose the run).  Paired with
+    ``checkpoint_dir`` + ``--resume``, a preempted run restarts from the
+    first uncompleted epoch with optimizer/schedule state intact.
+
+    Context manager; restores the previous handlers on exit.  The second
+    signal falls through to the previous handler (so a double Ctrl-C still
+    kills a hung run).  Install from the main thread only (signal module
+    rule); anywhere else, construct with ``signals=()`` and set
+    ``.requested`` yourself.
+    """
+
+    def __init__(self, signals=None, verbose=True):
+        import signal as _signal
+
+        self.requested = False
+        self.verbose = verbose
+        self._signal = _signal
+        self._signals = ((_signal.SIGTERM, _signal.SIGINT)
+                         if signals is None else tuple(signals))
+        self._previous = {}
+
+    def _handle(self, signum, frame):
+        if self.requested:  # second signal: defer to the original handler
+            prev = self._previous.get(signum)
+            if callable(prev):
+                return prev(signum, frame)
+            raise KeyboardInterrupt
+        self.requested = True
+        if self.verbose:
+            print(f"[preemption] caught signal {signum}; finishing the "
+                  "current chunk, then checkpointing and stopping",
+                  flush=True)
+
+    def __enter__(self):
+        for s in self._signals:
+            self._previous[s] = self._signal.signal(s, self._handle)
+        return self
+
+    def __exit__(self, *exc):
+        for s, prev in self._previous.items():
+            self._signal.signal(s, prev)
+        self._previous.clear()
+        return False
+
 __all__ = ["TrainState", "Trainer", "TrainConfig"]
 
 
@@ -503,7 +552,8 @@ class Trainer:
     def fit(self, state: TrainState, dataset, *, verbose=True,
             checkpoint_dir=None, checkpoint_backend="pickle",
             checkpoint_async=False, checkpoint_every=None,
-            start_epoch=None, param_stats_fn=None, metrics_sink=None):
+            start_epoch=None, param_stats_fn=None, metrics_sink=None,
+            preemption=None):
         """Full training run with eval cadence, best-acc tracking, early
         stopping and optional best-model checkpointing (the reference's only
         checkpoint: emotion_recognition.py:359-363).
@@ -528,9 +578,17 @@ class Trainer:
         ``metrics_sink`` (train.sinks.MetricsSink) receives each epoch
         record — the history dict plus a 1-based 'epoch' key, with
         'test_acc' already attached on eval epochs — flushed as soon as the
-        epoch's numbers exist; the caller owns close()."""
+        epoch's numbers exist; the caller owns close().
+
+        ``preemption``: an object with a ``requested`` attribute (usually a
+        ``GracefulPreemption`` installed as a context manager).  When it
+        turns True, fit stops at the next chunk boundary, saves the rolling
+        'last' checkpoint (if ``checkpoint_dir`` is set — regardless of
+        ``checkpoint_every``) and returns with ``"preempted": True``; a
+        ``--resume`` restart continues from the first uncompleted epoch."""
         cfg = self.config
         best_acc, patience_count = 0.0, 0
+        preempted = False
         history = []
         fuse = (cfg.device_epoch and cfg.multi_epoch_dispatch
                 and hasattr(dataset, "train_arrays"))
@@ -604,13 +662,21 @@ class Trainer:
                     if verbose:
                         print(f"Early stopping at epoch {epoch}")
                     stop = True
+            if (preemption is not None
+                    and getattr(preemption, "requested", False)):
+                if verbose:
+                    print(f"Preemption: stopping after epoch {epoch} "
+                          f"({'checkpointing' if checkpoint_dir else 'no checkpoint dir'})")
+                stop = preempted = True
             # rolling 'last' save AFTER eval so its extra dict carries the
             # post-eval best_acc/patience_count; also fires on early stop
             # (the state that triggered the stop must persist — the
             # docstring's 'once more at the end' guarantee)
-            if checkpoint_dir is not None and checkpoint_every and (
-                    epoch // checkpoint_every > prev_epoch // checkpoint_every
-                    or epoch == cfg.epochs or stop):
+            if checkpoint_dir is not None and (preempted or (
+                    checkpoint_every and (
+                        epoch // checkpoint_every
+                        > prev_epoch // checkpoint_every
+                        or epoch == cfg.epochs or stop))):
                 from .checkpoint import (save_checkpoint,
                                          save_checkpoint_async)
                 (save_checkpoint_async if checkpoint_async
@@ -627,7 +693,8 @@ class Trainer:
         if checkpoint_async and checkpoint_dir is not None:
             from .checkpoint import wait_for_checkpoints
             wait_for_checkpoints()
-        return {"best_acc": best_acc, "history": history}
+        return {"best_acc": best_acc, "history": history,
+                "preempted": preempted}
 
 
 def pde_param_stats(params, prefix=""):

@@ -511,3 +511,59 @@ def test_resume_restores_best_acc_and_respects_step_cap(key, tmp_path):
     # checkpoint file was never overwritten by the (worse) resumed model
     assert result["best_acc"] == better
     assert (tmp_path / "best.ckpt").read_bytes() == best_bytes
+
+
+def test_fit_preemption_checkpoints_and_resumes(key, tmp_path):
+    """Graceful preemption: fit(preemption=) stops at the next chunk
+    boundary, saves the rolling 'last' checkpoint even WITHOUT
+    checkpoint_every, and reports preempted=True; a --resume-style restart
+    completes the remaining epochs."""
+    import types
+
+    from cnn_pde_tpu.train.checkpoint import load_checkpoint
+
+    ds = load_dataset("mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=8, synthetic_test_per_class=3)
+    model = MNISTClassifier()
+    cfg = TrainConfig(epochs=4, batch_size=16, eval_every=1, log_every=10**9)
+    trainer = Trainer(model, cfg, lambda s: 1e-3)
+
+    full = trainer.init_state(key, None)
+    trainer.fit(full, ds, verbose=False)
+    total_steps = int(full.step)
+
+    flag = types.SimpleNamespace(requested=True)  # preempted from the start
+    state = trainer.init_state(key, None)
+    result = trainer.fit(state, ds, verbose=False,
+                         checkpoint_dir=str(tmp_path), preemption=flag)
+    assert result["preempted"] is True
+    assert len(result["history"]) == 1  # stopped at the first chunk boundary
+    assert load_checkpoint(str(tmp_path),
+                           tag="last")["step"] == int(state.step)
+
+    state2 = trainer.init_state(jax.random.PRNGKey(5), None)
+    restore_state(state2, str(tmp_path), tag="last")
+    result2 = trainer.fit(state2, ds, verbose=False)
+    assert result2["preempted"] is False
+    assert int(state2.step) == total_steps
+    assert len(result2["history"]) == 3  # the remaining epochs, not 4
+
+
+def test_graceful_preemption_signal_latch():
+    """SIGTERM latches .requested without raising; previous handler is
+    restored on exit."""
+    import signal
+    import time as _time
+
+    from cnn_pde_tpu.train import GracefulPreemption
+
+    prev = signal.getsignal(signal.SIGTERM)
+    with GracefulPreemption(verbose=False) as gp:
+        assert not gp.requested
+        os.kill(os.getpid(), signal.SIGTERM)
+        for _ in range(100):  # delivery happens between bytecodes
+            if gp.requested:
+                break
+            _time.sleep(0.01)
+        assert gp.requested
+    assert signal.getsignal(signal.SIGTERM) is prev
