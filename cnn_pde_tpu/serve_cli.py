@@ -152,14 +152,52 @@ def main():
     if args.http is not None:
         from .serve_http import serve_http
 
-        fns = {o: make_predict_fn(model, params, state, output=o, mesh=mesh)
-               for o in ("labels", "probs", "logits")}
-        for fn in fns.values():
-            fn(images)  # warm each served fn's compile before traffic
-        serve_http(fns, port=args.http, default_output=args.output,
+        def build_fns(p, s):
+            fns = {o: make_predict_fn(model, p, s, output=o, mesh=mesh)
+                   for o in ("labels", "probs", "logits")}
+            for fn in fns.values():
+                fn(images)  # warm each served fn's compile before traffic
+            return fns
+
+        def reload_fns():
+            """POST /reload: re-read the weights source, re-pin the frozen-
+            params caches for the NEW weights, rebuild the served fns —
+            args-bound weights hit the same compiled graphs (no recompile)."""
+            from .serve import clear_linear_cache, clear_operator_cache
+
+            if args.torch_checkpoint:
+                from .compat import load_torch_checkpoint
+
+                p, s = load_torch_checkpoint(args.torch_checkpoint,
+                                             args.preset)
+            elif args.checkpoint_dir:
+                from .train.checkpoint import (load_checkpoint,
+                                               restore_components)
+
+                payload = load_checkpoint(args.checkpoint_dir, tag=args.tag)
+                out = restore_components(payload, {"params": params,
+                                                   "model_state": state})
+                p, s = out["params"], out["model_state"]
+            else:
+                p, s = params, state  # smoke server: rebuild same weights
+            clear_operator_cache(model)
+            clear_linear_cache(model)
+            if args.amp:
+                cache_hoisted_operators(model, p, s, images)
+            if args.linearize:
+                from .serve import linearize_pde_layers
+
+                linearize_pde_layers(
+                    model, p, s, images,
+                    dtype=jnp.bfloat16 if args.linearize_bf16 else None)
+            return build_fns(p, s)
+
+        serve_http(build_fns(params, state), port=args.http,
+                   default_output=args.output,
                    microbatch=args.microbatch,
                    microbatch_wait_ms=args.microbatch_wait_ms,
-                   microbatch_pipeline=args.microbatch_pipeline)
+                   microbatch_pipeline=args.microbatch_pipeline,
+                   reload_fn=reload_fns)
         return
 
     out = np.asarray(predict(images))

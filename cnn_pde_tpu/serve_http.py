@@ -12,6 +12,9 @@ network-facing complement to ``serve.make_predict_fn``:
     GET  /healthz   {"ok": true, "requests": N}
     GET  /metrics   request/image counts, recent predict-latency
                     percentiles, micro-batch coalescing stats
+    POST /reload    zero-downtime weight hot-swap (when the server was
+                    built with a reload_fn; the serve CLI wires it to
+                    re-read --checkpoint-dir)
 
 Design notes: requests are served sequentially by a ThreadingHTTPServer
 whose handler funnels through one jit'd predict fn — JAX dispatch is
@@ -44,10 +47,11 @@ class PredictServer:
     """
 
     def __init__(self, predict_fns, host="127.0.0.1", port=0,
-                 default_output=None):
+                 default_output=None, reload_fn=None):
         if callable(predict_fns):
             predict_fns = {"default": predict_fns}
         self.predict_fns = predict_fns
+        self._reload_fn = reload_fn
         self.default_output = (default_output if default_output is not None
                                else next(iter(sorted(predict_fns))))
         if self.default_output not in predict_fns:
@@ -94,6 +98,16 @@ class PredictServer:
 
             def do_POST(self):
                 path, _, query = self.path.partition("?")
+                if path == "/reload":
+                    if outer._reload_fn is None:
+                        return self._send(
+                            400, {"error": "no reload_fn configured"})
+                    try:
+                        outputs = outer.reload()
+                    except Exception as e:
+                        return self._send(
+                            500, {"error": f"reload failed: {e}"})
+                    return self._send(200, {"ok": True, "outputs": outputs})
                 if path != "/predict":
                     return self._send(404, {"error": "not found"})
                 params = dict(kv.split("=", 1) for kv in query.split("&")
@@ -134,6 +148,31 @@ class PredictServer:
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self.httpd.server_address[:2]
+
+    def reload(self):
+        """Zero-downtime weight hot-swap (also served at POST /reload):
+        call the configured ``reload_fn`` for a fresh predict-fns dict and
+        swap it in atomically (in-flight requests finish on the old fns).
+        With args-bound weights (make_predict_fn's default) the new fns hit
+        the SAME compiled graphs — no recompile, the swap is instant.  Old
+        MicroBatchers are closed after a grace period so requests that
+        already grabbed them still complete."""
+        new = self._reload_fn()
+        if callable(new):
+            new = {"default": new}
+        if not new:
+            raise ValueError("reload_fn returned no predict fns")
+        old, self.predict_fns = self.predict_fns, new  # atomic under GIL
+        if self.default_output not in new:
+            self.default_output = next(iter(sorted(new)))
+        stale = [fn for fn in old.values()
+                 if fn not in new.values() and callable(
+                     getattr(fn, "close", None))]
+        if stale:
+            t = threading.Timer(5.0, lambda: [fn.close() for fn in stale])
+            t.daemon = True
+            t.start()
+        return sorted(new)
 
     def metrics(self):
         """Serving observability snapshot (also served at GET /metrics):
@@ -182,7 +221,7 @@ class PredictServer:
 
 def serve_http(predict_fns, host="127.0.0.1", port=8000, background=False,
                default_output=None, microbatch=0, microbatch_wait_ms=2.0,
-               microbatch_pipeline=2):
+               microbatch_pipeline=2, reload_fn=None):
     """Start serving; returns the PredictServer.  ``background=True`` runs
     the accept loop in a daemon thread (for tests / embedding);
     ``default_output`` names the fn served when /predict has no ?output=.
@@ -192,18 +231,29 @@ def serve_http(predict_fns, host="127.0.0.1", port=8000, background=False,
     dispatch of up to that many rows, waiting at most
     ``microbatch_wait_ms`` for company, with up to ``microbatch_pipeline``
     coalesced batches in flight at once — cuts device dispatches ~10x
-    under concurrent single-image load (PERF.md §http-serving)."""
-    if microbatch:
+    under concurrent single-image load (PERF.md §http-serving).
+
+    ``reload_fn`` () -> predict-fns dict enables POST /reload: zero-
+    downtime weight hot-swap (re-read the checkpoint, rebuild the fns);
+    micro-batch wrapping is re-applied automatically on reload."""
+
+    def _wrap(fns):
+        if callable(fns):
+            fns = {"default": fns}
+        if not microbatch:
+            return fns
         from .serve_batch import MicroBatcher
 
-        if callable(predict_fns):
-            predict_fns = {"default": predict_fns}
-        predict_fns = {name: MicroBatcher(fn, max_batch=microbatch,
-                                          max_wait_ms=microbatch_wait_ms,
-                                          pipeline=microbatch_pipeline)
-                       for name, fn in predict_fns.items()}
-    server = PredictServer(predict_fns, host=host, port=port,
-                           default_output=default_output)
+        return {name: MicroBatcher(fn, max_batch=microbatch,
+                                   max_wait_ms=microbatch_wait_ms,
+                                   pipeline=microbatch_pipeline)
+                for name, fn in fns.items()}
+
+    server = PredictServer(
+        _wrap(predict_fns), host=host, port=port,
+        default_output=default_output,
+        reload_fn=(None if reload_fn is None
+                   else (lambda: _wrap(reload_fn()))))
     if background:
         server.start_background()
     else:

@@ -157,3 +157,52 @@ def test_http_metrics_endpoint(server, rng):
         assert m["microbatch"]["coalescing"] == 1.0
     finally:
         mb_srv.shutdown()
+
+
+def test_http_reload_hot_swaps_weights(rng):
+    """POST /reload swaps predict fns atomically (serve CLI wires this to
+    re-read --checkpoint-dir); micro-batch wrapping is re-applied, and a
+    server without a reload_fn refuses with 400."""
+    from cnn_pde_tpu.serve_http import serve_http
+
+    def make(v):
+        return lambda x: np.full((x.shape[0],), float(v), np.float32)
+
+    version = {"v": 0}
+
+    def reload_fn():
+        version["v"] += 1
+        return {"labels": make(version["v"])}
+
+    srv = serve_http({"labels": make(0)}, port=0, background=True,
+                     microbatch=4, reload_fn=reload_fn)
+    base = f"http://{srv.host}:{srv.port}"
+    img = rng.random((2, 1, 8, 8)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, img)
+    body = buf.getvalue()
+    try:
+        def predict():
+            with _post(f"{base}/predict", body, "application/x-npy",
+                       accept="application/x-npy") as r:
+                return np.load(io.BytesIO(r.read()), allow_pickle=False)
+
+        np.testing.assert_array_equal(predict(), [0.0, 0.0])
+        for expect in (1.0, 2.0):  # two consecutive hot swaps
+            with _post(f"{base}/reload", b"", "application/json") as r:
+                rep = json.load(r)
+            assert rep["ok"] and rep["outputs"] == ["labels"]
+            np.testing.assert_array_equal(predict(), [expect, expect])
+        assert hasattr(next(iter(srv.predict_fns.values())),
+                       "n_dispatches")  # microbatch re-wrapped on reload
+    finally:
+        srv.shutdown()
+
+    srv2 = serve_http({"labels": make(9)}, port=0, background=True)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"http://{srv2.host}:{srv2.port}/reload", b"",
+                  "application/json")
+        assert e.value.code == 400
+    finally:
+        srv2.shutdown()
