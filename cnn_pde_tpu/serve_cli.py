@@ -76,6 +76,12 @@ def main():
     ap.add_argument("--microbatch-pipeline", type=int, default=2,
                     help="coalesced batches allowed in flight at once "
                          "(overlaps device round trips; 1 = serial)")
+    ap.add_argument("--reload-watch", type=float, default=0.0,
+                    metavar="SECS",
+                    help="with --http: poll the weight source every SECS "
+                         "and hot-swap on change (a training job writing "
+                         "new best checkpoints is served automatically); "
+                         "0 = off, reload stays available via POST /reload")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -192,12 +198,24 @@ def main():
                     dtype=jnp.bfloat16 if args.linearize_bf16 else None)
             return build_fns(p, s)
 
+        watch_paths = []
+        if args.torch_checkpoint:
+            watch_paths = [args.torch_checkpoint]
+        elif args.checkpoint_dir:
+            import os
+
+            watch_paths = [
+                os.path.join(args.checkpoint_dir, f"{args.tag}.ckpt"),
+                os.path.join(args.checkpoint_dir, f"{args.tag}.orbax")]
         serve_http(build_fns(params, state), port=args.http,
                    default_output=args.output,
                    microbatch=args.microbatch,
                    microbatch_wait_ms=args.microbatch_wait_ms,
                    microbatch_pipeline=args.microbatch_pipeline,
-                   reload_fn=reload_fns)
+                   reload_fn=reload_fns,
+                   reload_watch_paths=(watch_paths if args.reload_watch > 0
+                                       else None),
+                   reload_watch_interval=args.reload_watch)
         return
 
     out = np.asarray(predict(images))

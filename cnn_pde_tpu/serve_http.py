@@ -29,13 +29,60 @@ from __future__ import annotations
 import collections
 import io
 import json
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-__all__ = ["PredictServer", "serve_http"]
+__all__ = ["PredictServer", "serve_http", "watch_and_reload"]
+
+
+def watch_and_reload(server, paths, interval_s=10.0, verbose=True):
+    """Poll checkpoint ``paths`` (files or orbax dirs) in a daemon thread;
+    when any mtime advances, call ``server.reload()`` — training writes a
+    new best checkpoint, serving follows automatically.  Pickle saves are
+    atomic (tmp + os.replace); a reload that catches an orbax dir
+    mid-write just fails, logs, and retries on the next tick.  Returns a
+    ``threading.Event`` — set it to stop the watcher."""
+    stop = threading.Event()
+
+    def mtime():
+        m = 0.0
+        for p in paths:
+            try:
+                if os.path.isdir(p):  # orbax checkpoints are directories
+                    m = max(m, os.path.getmtime(p))
+                    for dp, _, fs in os.walk(p):
+                        for f in fs:
+                            m = max(m, os.path.getmtime(
+                                os.path.join(dp, f)))
+                else:
+                    m = max(m, os.path.getmtime(p))
+            except OSError:
+                pass  # absent / being replaced right now
+        return m
+
+    def run():
+        last = mtime()
+        while not stop.wait(interval_s):
+            cur = mtime()
+            if cur > last:
+                try:
+                    server.reload()
+                    last = cur
+                    if verbose:
+                        print("[reload-watch] checkpoint changed; "
+                              "hot-swapped weights", flush=True)
+                except Exception as e:  # retry next tick (mid-write etc.)
+                    if verbose:
+                        print(f"[reload-watch] reload failed ({e}); "
+                              "retrying next tick", flush=True)
+
+    threading.Thread(target=run, daemon=True,
+                     name="reload-watch").start()
+    return stop
 
 
 class PredictServer:
@@ -211,6 +258,9 @@ class PredictServer:
         return t
 
     def shutdown(self):
+        watch = getattr(self, "_watch_stop", None)
+        if watch is not None:
+            watch.set()
         self.httpd.shutdown()
         self.httpd.server_close()
         for fn in self.predict_fns.values():
@@ -221,7 +271,8 @@ class PredictServer:
 
 def serve_http(predict_fns, host="127.0.0.1", port=8000, background=False,
                default_output=None, microbatch=0, microbatch_wait_ms=2.0,
-               microbatch_pipeline=2, reload_fn=None):
+               microbatch_pipeline=2, reload_fn=None,
+               reload_watch_paths=None, reload_watch_interval=10.0):
     """Start serving; returns the PredictServer.  ``background=True`` runs
     the accept loop in a daemon thread (for tests / embedding);
     ``default_output`` names the fn served when /predict has no ?output=.
@@ -235,7 +286,10 @@ def serve_http(predict_fns, host="127.0.0.1", port=8000, background=False,
 
     ``reload_fn`` () -> predict-fns dict enables POST /reload: zero-
     downtime weight hot-swap (re-read the checkpoint, rebuild the fns);
-    micro-batch wrapping is re-applied automatically on reload."""
+    micro-batch wrapping is re-applied automatically on reload.
+    ``reload_watch_paths`` additionally starts a ``watch_and_reload``
+    poller (every ``reload_watch_interval`` s) so new checkpoints are
+    picked up without any client action."""
 
     def _wrap(fns):
         if callable(fns):
@@ -254,6 +308,10 @@ def serve_http(predict_fns, host="127.0.0.1", port=8000, background=False,
         default_output=default_output,
         reload_fn=(None if reload_fn is None
                    else (lambda: _wrap(reload_fn()))))
+    if reload_watch_paths and server._reload_fn is not None:
+        server._watch_stop = watch_and_reload(
+            server, reload_watch_paths,
+            interval_s=max(float(reload_watch_interval), 0.1))
     if background:
         server.start_background()
     else:

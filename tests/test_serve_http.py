@@ -206,3 +206,48 @@ def test_http_reload_hot_swaps_weights(rng):
         assert e.value.code == 400
     finally:
         srv2.shutdown()
+
+
+def test_reload_watch_follows_checkpoint_mtime(tmp_path, rng):
+    """watch_and_reload: touching the watched file triggers a hot-swap
+    within an interval; stopping the watcher stops further swaps."""
+    import time
+
+    from cnn_pde_tpu.serve_http import serve_http
+
+    ckpt = tmp_path / "best.ckpt"
+    ckpt.write_bytes(b"v0")
+    version = {"v": 0}
+
+    def reload_fn():
+        version["v"] += 1
+        v = version["v"]
+        return {"labels": lambda x: np.full((x.shape[0],), float(v),
+                                            np.float32)}
+
+    srv = serve_http({"labels": lambda x: np.zeros(x.shape[0], np.float32)},
+                     port=0, background=True, reload_fn=reload_fn,
+                     reload_watch_paths=[str(ckpt)],
+                     reload_watch_interval=0.1)
+    img = rng.random((1, 1, 8, 8)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, img)
+    body = buf.getvalue()
+
+    def predict():
+        with _post(f"http://{srv.host}:{srv.port}/predict", body,
+                   "application/x-npy", accept="application/x-npy") as r:
+            return float(np.load(io.BytesIO(r.read()),
+                                 allow_pickle=False)[0])
+
+    try:
+        assert predict() == 0.0
+        time.sleep(0.3)
+        ckpt.write_bytes(b"v1")  # mtime advances -> watcher reloads
+        deadline = time.time() + 5.0
+        while time.time() < deadline and predict() == 0.0:
+            time.sleep(0.1)
+        assert predict() >= 1.0, "watcher never hot-swapped"
+    finally:
+        srv.shutdown()
+    assert srv._watch_stop.is_set()  # shutdown stopped the watcher
