@@ -38,8 +38,15 @@ def _pinned_caches(model):
 
 
 def make_predict_fn(model, params, state, output="logits", mesh=None,
-                    bind="args"):
+                    bind="args", buckets=None):
     """output: 'logits' | 'probs' | 'labels'.
+
+    ``buckets``: optional ascending batch sizes to pad requests to (last
+    row repeated; padded outputs sliced off).  XLA compiles one executable
+    per SHAPE, so arbitrary client batch sizes mean one compile each —
+    with buckets a handful of executables serve every size (requests above
+    the largest bucket run unpadded).  Under ``mesh``, every bucket must
+    be divisible by the 'data' axis size.
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis — batched
     data-parallel serving: the request batch is sharded over 'data', params
@@ -56,6 +63,22 @@ def make_predict_fn(model, params, state, output="logits", mesh=None,
     jaxpr constants (the pre-round-2 behavior, kept for A/B)."""
     pins = _pinned_caches(model)
     caches = [getattr(lay, attr) for lay, attr in pins]
+
+    def bucketize(call):
+        if not buckets:
+            return call
+        bs = sorted(int(b) for b in buckets)
+
+        def wrapped(images):
+            n = int(images.shape[0])
+            target = next((b for b in bs if b >= n), None)
+            if target is None or target == n:
+                return call(images)
+            pad = jnp.broadcast_to(images[-1:],
+                                   (target - n,) + tuple(images.shape[1:]))
+            return call(jnp.concatenate([jnp.asarray(images), pad]))[:n]
+
+        return wrapped
 
     def forward(p, s, cs, images):
         saved = [getattr(lay, attr) for lay, attr in pins]
@@ -82,8 +105,9 @@ def make_predict_fn(model, params, state, output="logits", mesh=None,
     if bind == "const":
         impl = lambda images: forward(params, state, caches, images)
         if mesh is None:
-            return jax.jit(impl)
-        return jax.jit(impl, in_shardings=(batch_s,), out_shardings=batch_s)
+            return bucketize(jax.jit(impl))
+        return bucketize(jax.jit(impl, in_shardings=(batch_s,),
+                                 out_shardings=batch_s))
     if bind != "args":
         raise ValueError(f"bind must be 'args' or 'const', got {bind!r}")
 
@@ -96,7 +120,7 @@ def make_predict_fn(model, params, state, output="logits", mesh=None,
         jitted = jax.jit(forward,
                          in_shardings=(None, None, None, batch_s),
                          out_shardings=batch_s)
-    fn = lambda images: jitted(params, state, caches, images)
+    fn = bucketize(lambda images: jitted(params, state, caches, images))
     # expose the unbound forward + weight pytree so callers embedding the
     # predict inside an OUTER jit (e.g. a chained steady-state loop) can
     # thread the weights through their own boundary as arguments — closing

@@ -76,6 +76,12 @@ def main():
     ap.add_argument("--microbatch-pipeline", type=int, default=2,
                     help="coalesced batches allowed in flight at once "
                          "(overlaps device round trips; 1 = serial)")
+    ap.add_argument("--buckets", default=None, metavar="B1,B2,...",
+                    help="pad request batches to these sizes so XLA "
+                         "compiles a handful of shapes instead of one per "
+                         "distinct client batch size (padded rows sliced "
+                         "off; sizes above the largest run unpadded); "
+                         "e.g. --buckets 1,8,32,64")
     ap.add_argument("--reload-watch", type=float, default=0.0,
                     metavar="SECS",
                     help="with --http: poll the weight source every SECS "
@@ -158,11 +164,19 @@ def main():
     if args.http is not None:
         from .serve_http import serve_http
 
+        buckets = (tuple(int(b) for b in args.buckets.split(","))
+                   if args.buckets else None)
+
         def build_fns(p, s):
-            fns = {o: make_predict_fn(model, p, s, output=o, mesh=mesh)
+            fns = {o: make_predict_fn(model, p, s, output=o, mesh=mesh,
+                                      buckets=buckets)
                    for o in ("labels", "probs", "logits")}
+            # warm every compile the server can hit before taking traffic
+            warm_sizes = list(buckets) if buckets else [images.shape[0]]
             for fn in fns.values():
-                fn(images)  # warm each served fn's compile before traffic
+                for b in warm_sizes:
+                    reps = -(-b // images.shape[0])  # ceil
+                    fn(jnp.concatenate([images] * reps)[:b])
             return fns
 
         def reload_fns():

@@ -152,3 +152,36 @@ def test_serve_cli_roundtrip(tmp_path):
     restored = load_exported(str(export_path))
     logits = np.asarray(restored(jnp.asarray(batch)))
     assert logits.argmax(-1).tolist() == summary["predictions"]
+
+
+def test_predict_fn_buckets(rng, key):
+    """buckets= pads request batches to a fixed set of compiled shapes;
+    results equal the unbucketed path exactly, and the model only ever
+    sees bucket-sized (or over-largest) batches."""
+    model = MNISTClassifier()
+    params, state = model.init(key)
+    ref = make_predict_fn(model, params, state)
+    fn = make_predict_fn(model, params, state, buckets=(4, 16))
+
+    seen = set()
+    orig_apply = model.apply
+
+    def spy(p, s, x, ctx):
+        seen.add(int(x.shape[0]))
+        return orig_apply(p, s, x, ctx)
+
+    model.apply = spy
+    try:
+        for b in (1, 3, 4, 9, 16, 20):
+            x = jnp.asarray(rng.random((b, 1, 28, 28)).astype(np.float32))
+            # different batch shape => different executable => fusion/
+            # rounding may differ in the last ulps; semantics must agree
+            np.testing.assert_allclose(np.asarray(fn(x)),
+                                       np.asarray(ref(x)),
+                                       rtol=1e-5, atol=1e-6)
+    finally:
+        model.apply = orig_apply
+    # 1,3,4 -> 4; 9,16 -> 16; 20 -> unpadded (above the largest bucket);
+    # plus the unbucketed ref traces (1,3,9 only — 4/16/20 shapes shared)
+    assert {s for s in seen if s in (4, 16, 20)} == {4, 16, 20}
+    assert 9 in seen  # ref's own trace — bucketed fn never dispatched 9
