@@ -166,6 +166,13 @@ def main():
 
         buckets = (tuple(int(b) for b in args.buckets.split(","))
                    if args.buckets else None)
+        if buckets and mesh is not None:
+            data = int(mesh.shape["data"])
+            bad = [b for b in buckets if b % data]
+            if bad:
+                raise SystemExit(
+                    f"--buckets {bad} not divisible by the 'data' axis "
+                    f"size {data} (required for --dp batch sharding)")
 
         def build_fns(p, s):
             fns = {o: make_predict_fn(model, p, s, output=o, mesh=mesh,
