@@ -251,3 +251,63 @@ def test_reload_watch_follows_checkpoint_mtime(tmp_path, rng):
     finally:
         srv.shutdown()
     assert srv._watch_stop.is_set()  # shutdown stopped the watcher
+
+
+def test_reload_under_concurrent_load(rng):
+    """Hot-swap safety: concurrent predict traffic across repeated
+    /reload calls never sees a failed or torn response — every reply is
+    a complete, valid output from SOME weight version."""
+    import threading
+    import time
+
+    from cnn_pde_tpu.serve_http import serve_http
+
+    def make(v):
+        return lambda x: np.full((x.shape[0],), float(v), np.float32)
+
+    version = {"v": 0}
+
+    def reload_fn():
+        version["v"] += 1
+        return {"labels": make(version["v"])}
+
+    srv = serve_http({"labels": make(0)}, port=0, background=True,
+                     microbatch=8, reload_fn=reload_fn)
+    base = f"http://{srv.host}:{srv.port}"
+    img = rng.random((1, 1, 8, 8)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, img)
+    body = buf.getvalue()
+    seen, errors = set(), []
+    stop = threading.Event()
+
+    def client():
+        while not stop.is_set():
+            try:
+                with _post(f"{base}/predict", body, "application/x-npy",
+                           accept="application/x-npy") as r:
+                    out = np.load(io.BytesIO(r.read()),
+                                  allow_pickle=False)
+                assert out.shape == (1,)
+                seen.add(float(out[0]))
+            except Exception as e:  # any failure under swap is a bug
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=client) for _ in range(6)]
+    try:
+        for t in threads:
+            t.start()
+        for _ in range(5):  # five hot swaps under fire
+            time.sleep(0.1)
+            with _post(f"{base}/reload", b"", "application/json") as r:
+                assert json.load(r)["ok"]
+        time.sleep(0.2)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+        srv.shutdown()
+    assert not errors, errors[:3]
+    assert len(seen) >= 3  # traffic really spanned several versions
+    assert seen <= {float(v) for v in range(6)}
