@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--data-dir", default="./data")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--grad-accum", type=int, default=1, metavar="K",
+                    help="average gradients over K micro-batches per "
+                         "optimizer update (effective batch = batch-size*K "
+                         "without holding it in HBM; optax.MultiSteps)")
     ap.add_argument("--steps", type=int, default=None,
                     help="cap train steps per epoch (smoke runs)")
     ap.add_argument("--checkpoint-dir", default=None)
@@ -119,11 +123,16 @@ def main():
         n_dense = len(list(iter_modules(model, (Conv2d, SymmetricLayer))))
         print(f"AMP: {n_amp} hoisted-bf16 ADI layers + {n_dense} bf16 dense "
               f"ops (conv/Ruthotto) + matinv_bf16 solves")
-    schedule = preset.make_schedule(steps_per_epoch)
+    # schedules advance per optimizer UPDATE: under --grad-accum K the
+    # inner count steps once per K micro-batches, so the horizon is
+    # updates-per-epoch (exactly as a real batch_size*K run would see)
+    schedule = preset.make_schedule(
+        max(1, steps_per_epoch // max(args.grad_accum, 1)))
     config = preset.make_train_config(epochs=epochs, batch_size=batch_size,
                                       seed=args.seed,
                                       native_loader=args.native_loader,
                                       device_epoch=args.device_epoch,
+                                      grad_accum=args.grad_accum,
                                       max_steps_per_epoch=args.steps)
     augment_fn = build_augment_fn(preset.augment)
     mesh = None

@@ -96,6 +96,13 @@ class TrainConfig:
     log_every: int = 100         # batches between log lines
     seed: int = 0
     native_loader: bool = False  # C++ prefetching batcher (cnn_pde_tpu.native)
+    # gradient accumulation: every k micro-batches are averaged into one
+    # optimizer update (optax.MultiSteps) — the effective batch is
+    # batch_size*k without holding it in HBM at once.  Schedules advance
+    # per UPDATE (inner optimizer count), matching a real batch_size*k run;
+    # clipping applies to the averaged gradient (same order as the
+    # reference's clip-then-step).  k=1 (default) is a no-op.
+    grad_accum: int = 1
     device_epoch: bool = False   # whole epoch in ONE jit dispatch (lax.scan)
     # with device_epoch, fit() fuses ALL epochs between eval points into one
     # dispatch (identical streams; pays the tunnel round trip per chunk
@@ -205,13 +212,20 @@ class Trainer:
             is_leaf=lambda x: isinstance(x, PartitionSpec))
 
     def _optimizer(self, params):
-        return build_optimizer(
+        opt = build_optimizer(
             params, self.schedule,
             groups=self.config.param_groups,
             default_weight_decay=self.config.weight_decay,
             default_lr_scale=self.config.default_lr_scale,
             clip_norm=self.config.clip_norm,
         )
+        k = int(self.config.grad_accum or 1)
+        if k > 1:
+            # accumulate the grad MEAN over k micro-batches, then apply the
+            # whole chain (clip -> grouped AdamW) once — trajectory matches
+            # a batch_size*k run (tested); schedules advance per update
+            opt = optax.MultiSteps(opt, every_k_schedule=k)
+        return opt
 
     # ---------------- steps ----------------
 

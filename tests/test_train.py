@@ -567,3 +567,36 @@ def test_graceful_preemption_signal_latch():
             _time.sleep(0.01)
         assert gp.requested
     assert signal.getsignal(signal.SIGTERM) is prev
+
+
+def test_grad_accum_matches_big_batch(rng, key):
+    """grad_accum=k over k micro-batches must follow the same trajectory
+    as one batch_size*k step: MultiSteps averages the micro-grads, then
+    the full chain (clip -> AdamW) applies once."""
+    from cnn_pde_tpu.nn import Flatten, Linear, Sequential
+
+    model = Sequential([Flatten(), Linear(784, 10)])  # no dropout/BN:
+    # the only rng/batch-stat effects that could break exact equivalence
+    images = jnp.asarray(rng.random((32, 1, 28, 28)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 10, 32).astype(np.int32))
+
+    def run(batch_size, grad_accum, n_micro):
+        cfg = TrainConfig(batch_size=batch_size, grad_accum=grad_accum,
+                          clip_norm=1.0, log_every=10**9)
+        tr = Trainer(model, cfg, lambda s: 1e-2)
+        state = tr.init_state(key, None)
+        step_fn = tr._make_train_step(state.params)
+        p, ms, os_ = state.params, state.model_state, state.opt_state
+        for i in range(n_micro):
+            lo = (i * batch_size) % 32
+            p, ms, os_, loss, _ = step_fn(
+                p, ms, os_, jnp.int32(i), images[lo:lo + batch_size],
+                labels[lo:lo + batch_size], jax.random.PRNGKey(0))
+        return p
+
+    big = run(batch_size=32, grad_accum=1, n_micro=2)     # 2 big updates
+    accum = run(batch_size=16, grad_accum=2, n_micro=4)   # 4 micro = 2 updates
+    for a, b in zip(jax.tree_util.tree_leaves(accum),
+                    jax.tree_util.tree_leaves(big)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
