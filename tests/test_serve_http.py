@@ -311,3 +311,65 @@ def test_reload_under_concurrent_load(rng):
     assert not errors, errors[:3]
     assert len(seen) >= 3  # traffic really spanned several versions
     assert seen <= {float(v) for v in range(6)}
+
+
+def test_http_full_stack_dp_buckets_microbatch_reload(rng, key):
+    """Capstone composition: DP mesh (8 virtual devices) + shape buckets +
+    micro-batching + hot-reload, all through the HTTP endpoint — odd-size
+    concurrent requests shard cleanly and survive a weight swap."""
+    import threading
+
+    import jax
+
+    from cnn_pde_tpu.parallel import make_mesh
+    from cnn_pde_tpu.serve_http import serve_http
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = make_mesh(spatial=1)
+    model = MNISTClassifier()
+    params, state = model.init(key)
+    params2, state2 = model.init(jax.random.PRNGKey(1))
+
+    def fns_for(p, s):
+        return {"labels": make_predict_fn(model, p, s, output="labels",
+                                          mesh=mesh, buckets=(8, 32))}
+
+    srv = serve_http(fns_for(params, state), port=0, background=True,
+                     microbatch=16, microbatch_wait_ms=5.0,
+                     reload_fn=lambda: fns_for(params2, state2))
+    base = f"http://{srv.host}:{srv.port}"
+    ref1 = make_predict_fn(model, params, state, output="labels",
+                           buckets=(8, 32))
+    ref2 = make_predict_fn(model, params2, state2, output="labels",
+                           buckets=(8, 32))
+    try:
+        def post(img):
+            buf = io.BytesIO()
+            np.save(buf, img)
+            with _post(f"{base}/predict", buf.getvalue(),
+                       "application/x-npy",
+                       accept="application/x-npy") as r:
+                return np.load(io.BytesIO(r.read()), allow_pickle=False)
+
+        # concurrent odd-size requests (coalesced totals pad to buckets
+        # divisible by the 8-way 'data' axis)
+        imgs = [rng.random((b, 1, 28, 28)).astype(np.float32)
+                for b in (1, 3, 1, 5, 1, 1)]
+        outs = [None] * len(imgs)
+        ts = [threading.Thread(
+            target=lambda i=i: outs.__setitem__(i, post(imgs[i])))
+            for i in range(len(imgs))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        for img, out in zip(imgs, outs):
+            np.testing.assert_array_equal(out, np.asarray(ref1(img)))
+
+        with _post(f"{base}/reload", b"", "application/json") as r:
+            assert json.load(r)["ok"]
+        img = rng.random((5, 1, 28, 28)).astype(np.float32)
+        np.testing.assert_array_equal(post(img), np.asarray(ref2(img)))
+    finally:
+        srv.shutdown()
