@@ -62,6 +62,12 @@ def main():
                          "bf16 (f32 accumulation) — the measured serving "
                          "champion (PERF.md §serving-args); AMP-grade "
                          "numerics")
+    ap.add_argument("--linearize-int8", action="store_true",
+                    help="with --linearize: W8A8-quantize the composed "
+                         "matrices (int8 weights + dynamic per-row "
+                         "activation scales, int32 MXU accumulation; "
+                         "quarter the matrix HBM traffic, ~0.5% relative "
+                         "output error)")
     ap.add_argument("--dp", action="store_true",
                     help="shard the batch over all visible devices")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
@@ -140,12 +146,13 @@ def main():
         n_cached = cache_hoisted_operators(model, params, state, images)
     else:
         n_cached = 0
+    lin_dtype = (jnp.int8 if args.linearize_int8
+                 else jnp.bfloat16 if args.linearize_bf16 else None)
     if args.linearize:
         from .serve import linearize_pde_layers
 
         n_linearized = linearize_pde_layers(
-            model, params, state, images,
-            dtype=jnp.bfloat16 if args.linearize_bf16 else None)
+            model, params, state, images, dtype=lin_dtype)
     else:
         n_linearized = 0
 
@@ -214,9 +221,7 @@ def main():
             if args.linearize:
                 from .serve import linearize_pde_layers
 
-                linearize_pde_layers(
-                    model, p, s, images,
-                    dtype=jnp.bfloat16 if args.linearize_bf16 else None)
+                linearize_pde_layers(model, p, s, images, dtype=lin_dtype)
             return build_fns(p, s)
 
         watch_paths = []

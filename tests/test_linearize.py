@@ -188,6 +188,61 @@ def test_linearize_bf16_storage(rng, key):
     clear_linear_cache(layer)
 
 
+def test_linearize_int8_quantization(rng, key):
+    """dtype=int8 → W8A8 QuantizedMatrix: dequantized weights within half a
+    quantization step of the f32 matrix per entry; layer outputs within the
+    combined weight+activation rounding budget."""
+    from cnn_pde_tpu.pde.linearize import QuantizedMatrix
+
+    layer = MixedChannelDiffusion(size=8, num_steps=3)
+    params, state = layer.init(key)
+    x = jnp.asarray(rng.standard_normal((3, 3, 8, 8)).astype(np.float32))
+    ref, _ = layer.apply(params, state, x, Ctx(train=False))
+
+    assert linearize_pde_layers(layer, params, state, x) == 1
+    m_f32 = np.asarray(layer.linear_cache)
+    clear_linear_cache(layer)
+
+    assert linearize_pde_layers(layer, params, state, x,
+                                dtype=jnp.int8) == 1
+    cache = layer.linear_cache
+    assert isinstance(cache, QuantizedMatrix)
+    assert cache.q.dtype == jnp.int8 and cache.q.shape == m_f32.shape
+    assert cache.scale.shape == (m_f32.shape[1],)
+    deq = np.asarray(cache.q, np.float32) * np.asarray(cache.scale)[None, :]
+    # round() puts every dequantized entry within scale/2 of the original
+    assert (np.abs(deq - m_f32) <= 0.5 * np.asarray(cache.scale)[None, :]
+            + 1e-12).all()
+
+    out, _ = jax.jit(lambda u: layer.apply(params, state, u,
+                                           Ctx(train=False)))(x)
+    assert out.dtype == jnp.float32
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    assert err.max() <= 2e-2 * np.abs(np.asarray(ref)).max()
+    clear_linear_cache(layer)
+
+
+def test_linearize_int8_flagship_predictions(rng, key):
+    """W8A8 serving on the flagship: all 3 branches quantize, predicted
+    labels agree with the sequential path on a random batch, and the
+    train-mode refusal still fires with a QuantizedMatrix pinned."""
+    from cnn_pde_tpu.models import CIFAR10PDENoConv
+
+    model = CIFAR10PDENoConv()
+    params, state = model.init(key)
+    x = jnp.asarray(rng.random((16, 3, 32, 32)).astype(np.float32))
+    ref = make_predict_fn(model, params, state, output="labels")(x)
+
+    assert linearize_pde_layers(model, params, state, x,
+                                dtype=jnp.int8) == 3
+    out = make_predict_fn(model, params, state, output="labels")(x)
+    assert (np.asarray(out) == np.asarray(ref)).all()
+
+    with pytest.raises(ValueError, match="linear_cache"):
+        model.apply(params, state, x, Ctx(train=True, rng=key))
+    assert clear_linear_cache(model) == 3
+
+
 def test_evolution_spectrum(key):
     """Exact stability analysis from the composed operator: implicit
     Neumann diffusion is non-amplifying with the constant mode conserved

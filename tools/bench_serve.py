@@ -41,7 +41,7 @@ def main():
     ap.add_argument("--variants", nargs="+", default=None,
                     help="explicit variant list (overrides --amp): any of "
                          "xla fused amp amp_cached linearized amp_linearized "
-                         "linearized_bf16")
+                         "linearized_bf16 linearized_int8")
     ap.add_argument("--preset", default="cifar10_noconv",
                     help="serve any preset's model (default: the flagship)")
     args = ap.parse_args()
@@ -89,12 +89,14 @@ def main():
             # from the exact-f32 sequential path; 'amp_linearized' from the
             # hoisted-bf16 one (same numerics grade as amp_cached);
             # 'linearized_bf16' stores the matrices in bf16 (halved HBM
-            # traffic — the bs=1 cost), f32 accumulation.
+            # traffic — the bs=1 cost), f32 accumulation;
+            # 'linearized_int8' W8A8-quantizes them (int32 MXU accumulation).
             from cnn_pde_tpu.serve import linearize_pde_layers
 
             n_lin = linearize_pde_layers(
                 model, params, state, sample,
-                dtype=jnp.bfloat16 if tag.endswith("bf16") else None)
+                dtype=(jnp.bfloat16 if tag.endswith("bf16")
+                       else jnp.int8 if tag.endswith("int8") else None))
             print(f"{tag}: linearized {n_lin} PDE layers", flush=True)
         for bs in args.batch_sizes:
             g = np.random.default_rng(0)
