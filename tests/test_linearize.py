@@ -243,6 +243,24 @@ def test_linearize_int8_flagship_predictions(rng, key):
     assert clear_linear_cache(model) == 3
 
 
+def test_linearize_int8_exports(rng, key):
+    """An int8-linearized model exports to StableHLO (the QuantizedMatrix
+    q/scale embedded as constants) and the reload reproduces the in-process
+    quantized predictions."""
+    from cnn_pde_tpu.serve import export_model, load_exported
+
+    layer = MixedChannelDiffusion(size=8, num_steps=3)
+    params, state = layer.init(key)
+    x = jnp.asarray(rng.standard_normal((4, 3, 8, 8)).astype(np.float32))
+    assert linearize_pde_layers(layer, params, state, x,
+                                dtype=jnp.int8) == 1
+    ref = np.asarray(make_predict_fn(layer, params, state)(x))
+    blob = export_model(layer, params, state, x)
+    out = np.asarray(load_exported(blob)(x))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-5)
+    clear_linear_cache(layer)
+
+
 def test_evolution_spectrum(key):
     """Exact stability analysis from the composed operator: implicit
     Neumann diffusion is non-amplifying with the constant mode conserved
