@@ -60,6 +60,9 @@ def main():
                     help="jax_debug_nans: re-run the offending op eagerly "
                          "and raise at the first NaN (slow; debugging only)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--summary", action="store_true",
+                    help="print the per-subtree parameter table "
+                         "(utils.model_summary) before training")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all visible devices")
@@ -113,6 +116,19 @@ def main():
         steps_per_epoch = min(steps_per_epoch, args.steps)
 
     model = MODEL_REGISTRY[preset.model](**preset.model_kwargs)
+    # the reference prints parameter totals + the PDE-group split at train
+    # start (cifar10.py:413-420, SVHN.py:310, cifar_2version.py:480-481)
+    from ..data import SYNTHETIC_SPECS
+    from ..utils.summary import format_summary, model_summary
+
+    _c, _s, _ = SYNTHETIC_SPECS[preset.dataset]
+    summ = model_summary(model, (batch_size, _c, _s, _s))
+    pct = (100.0 * summ["pde_params"] / summ["total_params"]
+           if summ["total_params"] else 0.0)
+    print(f"Model: {summ['total_params']:,} parameters "
+          f"(PDE groups {summ['pde_params']:,} = {pct:.1f}%)")
+    if args.summary:
+        print(format_summary(summ))
     if args.amp:
         from ..nn.layers import Conv2d
         from ..pde import enable_amp

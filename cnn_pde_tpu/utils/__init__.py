@@ -9,6 +9,7 @@ from .analysis import (
 )
 from .config import PRESETS, Preset, get_preset
 from .debug import annotate, nan_guard, profile_trace, step_timer
+from .summary import format_summary, model_summary, param_group_counts
 from .sweep import compare_configs, compare_spatial_discretizations, format_table
 
 __all__ = [
@@ -21,6 +22,9 @@ __all__ = [
     "Preset",
     "get_preset",
     "annotate",
+    "format_summary",
+    "model_summary",
+    "param_group_counts",
     "nan_guard",
     "profile_trace",
     "step_timer",

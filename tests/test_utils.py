@@ -102,3 +102,34 @@ def test_step_timer():
     with t.measure():
         pass
     assert t.mean_ms >= 0.0
+
+
+def test_model_summary_flagship():
+    """Shape-only summary: totals must equal a real init's tree_size, the
+    PDE-group split must cover the optimizer-group surfaces, and eval_shape
+    must not have materialized any weights (it's instant)."""
+    from cnn_pde_tpu.models import CIFAR10PDENoConv
+    from cnn_pde_tpu.nn.core import tree_size
+    from cnn_pde_tpu.utils.summary import format_summary, model_summary
+
+    model = CIFAR10PDENoConv()
+    s = model_summary(model, (2, 3, 32, 32))
+    params, _ = model.init(jax.random.PRNGKey(0))
+    assert s["total_params"] == tree_size(params)
+    assert s["output_shape"] == (2, 10)
+    assert {"alpha", "beta", "channel_mixing"} <= set(s["pde_groups"])
+    assert s["pde_params"] == sum(s["pde_groups"].values())
+    assert sum(n for _, n in s["subtrees"]) == s["total_params"]
+    txt = format_summary(s)
+    assert "total" in txt and f"{s['total_params']:,}" in txt
+
+
+def test_model_summary_hybrid_counts_ruthotto_K():
+    """The hybrid model's Ruthotto .K weight matrices are grouped PDE
+    params (the optimizer selects them by '.K.'), dominating its total."""
+    from cnn_pde_tpu.models import CIFAR10HybridPDEModel
+    from cnn_pde_tpu.utils.summary import model_summary
+
+    s = model_summary(CIFAR10HybridPDEModel(), (2, 3, 32, 32))
+    assert s["pde_groups"][".K."] > 1_000_000
+    assert s["pde_params"] > 0.5 * s["total_params"]
