@@ -7,7 +7,8 @@ from .dist_tridiag import (
     tridiag_solve_partitioned,
 )
 from .mesh import NamedSharding, P, dp_shardings, make_mesh
-from .multihost import initialize, is_multihost, local_batch_slice
+from .multihost import (global_batch_from_local, initialize,
+                        is_multihost, local_batch_slice)
 from .spatial import (adi_strang_step_spatial, ftcs_evolve_spatial,
                       laplacian_step_spatial)
 from .spatial_model import SpatialFTCSClassifier
@@ -27,6 +28,7 @@ __all__ = [
     "dp_shardings",
     "make_mesh",
     "initialize",
+    "global_batch_from_local",
     "is_multihost",
     "local_batch_slice",
     "adi_strang_step_spatial",

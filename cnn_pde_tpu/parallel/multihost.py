@@ -13,7 +13,8 @@ import sys
 
 import jax
 
-__all__ = ["initialize", "is_multihost", "local_batch_slice"]
+__all__ = ["initialize", "is_multihost", "local_batch_slice",
+           "global_batch_from_local"]
 
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
@@ -72,3 +73,27 @@ def local_batch_slice(global_batch: int):
     hosts feed only their local slice under jit with sharded inputs."""
     per = global_batch // jax.process_count()
     return jax.process_index() * per, per
+
+
+def global_batch_from_local(mesh, local_tree, axis="data"):
+    """Assemble globally-sharded batch arrays from each process's LOCAL
+    slice (the multi-host data path: every host loads only
+    ``local_batch_slice``'s rows, never the full global batch).
+
+    Wraps ``jax.make_array_from_process_local_data``: each leaf's leading
+    dim is this process's shard; the returned jax.Arrays have global shape
+    ``num_processes * local`` rows, sharded over ``mesh``'s ``axis``, and
+    feed directly into any jitted step that declares batch in_shardings
+    (Trainer DP / make_dp_train_step / make_predict_fn(mesh=)).  The mesh
+    must span all processes' devices with ``axis`` covering the batch dim.
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def make(x):
+        x = np.asarray(x)
+        spec = PartitionSpec(axis, *([None] * (x.ndim - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), x)
+
+    return jax.tree_util.tree_map(make, local_tree)

@@ -153,3 +153,60 @@ def test_two_process_bringup_and_psum():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
         assert "PSUM 1.0" in out, out
+
+
+_DATA_WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+    import numpy as np
+    import jax.numpy as jnp
+    from cnn_pde_tpu.parallel import (global_batch_from_local, initialize,
+                                      local_batch_slice)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    pid = int(sys.argv[1])
+    assert initialize(coordinator_address={addr!r}, num_processes=2,
+                      process_id=pid) == "initialized"
+
+    # the canonical multi-host data path: a deterministic global batch of
+    # which THIS process materializes only its local_batch_slice rows
+    B = 8
+    full = np.arange(B * 3, dtype=np.float32).reshape(B, 3)
+    labels = np.arange(B, dtype=np.int32) % 3
+    start, size = local_batch_slice(B)
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    gx, gy = global_batch_from_local(
+        mesh, (full[start:start + size], labels[start:start + size]))
+    assert gx.shape == (B, 3) and gy.shape == (B,), (gx.shape, gy.shape)
+
+    rep = NamedSharding(mesh, P())
+    f = jax.jit(lambda x, y: jnp.mean(x) + jnp.mean(y.astype(jnp.float32)),
+                out_shardings=rep)
+    got = float(np.asarray(f(gx, gy)))
+    want = float(full.mean() + labels.astype(np.float32).mean())
+    assert abs(got - want) < 1e-5, (got, want)
+    print("GLOBALMEAN", got, flush=True)
+""")
+
+
+def test_two_process_global_batch_from_local():
+    """global_batch_from_local over a real 2-process group: each process
+    holds only its local_batch_slice rows; the assembled global arrays have
+    the full batch shape and a jitted cross-process reduction over them
+    equals the single-host full-batch value."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        addr = f"localhost:{s.getsockname()[1]}"
+    script = _DATA_WORKER.format(repo=REPO, addr=addr)
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(pid)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True,
+                              env={**os.environ, "JAX_PLATFORMS": "cpu",
+                                   "XLA_FLAGS": ""})
+             for pid in (0, 1)]
+    outs = [p.communicate(timeout=180)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "GLOBALMEAN" in out, out
