@@ -20,12 +20,40 @@ __all__ = ["make_dp_train_step", "make_train_step_body", "shard_batch",
 
 
 def shard_batch(mesh, batch):
+    """Place a batch pytree sharded over the mesh's 'data' axis.
+
+    Single-process: a plain device_put.  Multi-process (the mesh spans
+    hosts): each process feeds only its ``local_batch_slice`` rows — the
+    leaves here are expected to be the FULL global batch on every host
+    (each host loads the whole small dataset); the global jax.Array is
+    assembled from the local rows (multihost.global_batch_from_local)."""
     bs, _ = dp_shardings(mesh)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        from .multihost import local_batch_slice
+
+        def make(x):
+            x = np.asarray(x)
+            start, size = local_batch_slice(x.shape[0])
+            return jax.make_array_from_process_local_data(
+                bs, x[start:start + size])
+
+        return jax.tree_util.tree_map(make, batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, bs), batch)
 
 
 def replicate(mesh, tree):
+    """Replicate a pytree over every device of ``mesh`` — multi-process
+    safe (every host passes the same full value)."""
     _, rep = dp_shardings(mesh)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        def make(x):
+            return jax.make_array_from_process_local_data(rep, np.asarray(x))
+
+        return jax.tree_util.tree_map(make, tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
 
 

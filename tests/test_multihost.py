@@ -210,3 +210,75 @@ def test_two_process_global_batch_from_local():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
         assert "GLOBALMEAN" in out, out
+
+
+_DP_WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+    from cnn_pde_tpu.nn import Flatten, Linear, Sequential
+    from cnn_pde_tpu.parallel import (initialize, make_dp_train_step,
+                                      replicate, shard_batch)
+    from cnn_pde_tpu.parallel.data_parallel import make_train_step_body
+    from jax.sharding import Mesh
+
+    pid = int(sys.argv[1])
+    assert initialize(coordinator_address={addr!r}, num_processes=2,
+                      process_id=pid) == "initialized"
+
+    model = Sequential([Flatten(), Linear(12, 3)])
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(params)
+
+    rng = np.random.default_rng(0)
+    B = 8
+    images = rng.random((B, 1, 3, 4)).astype(np.float32)
+    labels = (np.arange(B) % 3).astype(np.int32)
+
+    # single-device reference on the full batch (process-local)
+    body = make_train_step_body(model, opt, label_smoothing=0.0)
+    _, _, _, ref_loss = jax.jit(body)(
+        params, state, opt_state, jnp.asarray(images), jnp.asarray(labels),
+        jax.random.PRNGKey(1))
+    ref = float(np.asarray(ref_loss))
+
+    # cross-process DP: mesh spans both processes' devices; each host
+    # feeds only its local half of the batch via shard_batch
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 1, 1),
+                ("data", "spatial", "model"))
+    step = make_dp_train_step(model, opt, mesh, label_smoothing=0.0)
+    p_r, s_r, o_r = (replicate(mesh, t) for t in (params, state, opt_state))
+    imgs_s, labels_s = shard_batch(mesh, (images, labels))
+    assert imgs_s.shape == (B, 1, 3, 4), imgs_s.shape
+    p2, _, _, loss = step(p_r, s_r, o_r, imgs_s, labels_s,
+                          jax.random.PRNGKey(1))
+    got = float(np.asarray(loss))
+    assert abs(got - ref) < 1e-5, (got, ref)
+    print("DPLOSS", got, flush=True)
+""")
+
+
+def test_two_process_dp_train_step():
+    """A full DP train step over a mesh spanning two real processes: each
+    host feeds only its local batch rows through shard_batch, params enter
+    via the multi-process replicate, and the cross-process loss equals the
+    single-device full-batch loss."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        addr = f"localhost:{s.getsockname()[1]}"
+    script = _DP_WORKER.format(repo=REPO, addr=addr)
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(pid)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True,
+                              env={**os.environ, "JAX_PLATFORMS": "cpu",
+                                   "XLA_FLAGS": ""})
+             for pid in (0, 1)]
+    outs = [p.communicate(timeout=180)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "DPLOSS" in out, out
