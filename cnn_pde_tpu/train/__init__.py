@@ -5,7 +5,8 @@ from .loop import (GracefulPreemption, TrainConfig, Trainer, TrainState,
                    pde_param_stats)
 from .losses import cross_entropy, hybrid_pde_regularization
 from .metrics import classification_report, confusion_matrix, per_class_accuracy
-from .optim import ParamGroup, build_optimizer
+from .optim import (ParamGroup, build_optimizer,
+                    scale_by_adam_low_precision)
 from .schedules import constant, cosine_annealing, onecycle
 from .sinks import (CSVSink, JSONLSink, MetricsSink, MultiSink,
                     TensorBoardSink, sink_from_path)
@@ -26,6 +27,7 @@ __all__ = [
     "per_class_accuracy",
     "ParamGroup",
     "build_optimizer",
+    "scale_by_adam_low_precision",
     "constant",
     "cosine_annealing",
     "onecycle",

@@ -103,6 +103,11 @@ class TrainConfig:
     # clipping applies to the averaged gradient (same order as the
     # reference's clip-then-step).  k=1 (default) is a no-op.
     grad_accum: int = 1
+    # Adam moment storage dtype: None = f32 (reference/torch semantics).
+    # 'bfloat16' halves the optimizer's m/v streaming traffic — measured
+    # −7% (tiny) / −19% (hybrid) full-step time (tools/ab_opt_bf16.py);
+    # opt-in (--bf16-moments), accuracy validated on synthetic fixtures.
+    moment_dtype: Optional[str] = None
     device_epoch: bool = False   # whole epoch in ONE jit dispatch (lax.scan)
     # with device_epoch, fit() fuses ALL epochs between eval points into one
     # dispatch (identical streams; pays the tunnel round trip per chunk
@@ -212,12 +217,14 @@ class Trainer:
             is_leaf=lambda x: isinstance(x, PartitionSpec))
 
     def _optimizer(self, params):
+        md = self.config.moment_dtype
         opt = build_optimizer(
             params, self.schedule,
             groups=self.config.param_groups,
             default_weight_decay=self.config.weight_decay,
             default_lr_scale=self.config.default_lr_scale,
             clip_norm=self.config.clip_norm,
+            moment_dtype=jnp.dtype(md) if md is not None else None,
         )
         k = int(self.config.grad_accum or 1)
         if k > 1:
