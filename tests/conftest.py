@@ -65,6 +65,9 @@ QUICK_TESTS = {
     "test_tridiag.py::test_pcr_matches_scan[28]",
     "test_ops.py::test_ftcs_frozen_boundary_semantics",
     "test_ops.py::test_laplacian_step_matches_torch_conv2d",
+    # real-data ingest formats (VERDICT r2 #5: CIFAR pickle + SVHN .mat)
+    "test_data.py::test_real_loader_cifar10_pickle",
+    "test_data.py::test_real_loader_svhn_mat",
     # production serving/training paths added in round 2 (all sub-second
     # servers on tiny fns; keeps hot-swap + preemption in the inner loop)
     "test_serve_http.py::test_http_reload_hot_swaps_weights",

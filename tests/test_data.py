@@ -155,6 +155,91 @@ def test_real_loader_mnist_idx(tmp_path, rng):
     np.testing.assert_array_equal(ds.train_labels, ys.astype(np.int32))
 
 
+def test_real_loader_cifar10_pickle(tmp_path):
+    """Write tiny files in the exact torchvision CIFAR-10 on-disk format
+    (cifar-10-batches-py/{data_batch_1..5, test_batch}: pickled dicts of
+    uint8 (N, 3072) row-major-CHW 'data' + int list 'labels'; the real files
+    are Python-2 pickles whose str keys decode to BYTES under the loader's
+    encoding='bytes' — cifar10.py:365-397) and load them through the real
+    path (data/real.py::_load_cifar10)."""
+    import pickle
+
+    base = tmp_path / "cifar-10-batches-py"
+    base.mkdir()
+
+    def write(name, n, seed):
+        g = np.random.default_rng(seed)
+        data = (g.random((n, 3072)) * 255).astype(np.uint8)
+        labels = [int(v) for v in g.integers(0, 10, n)]
+        with open(base / name, "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels}, f)
+        return data, labels
+
+    train = [write(f"data_batch_{i}", 4, i) for i in range(1, 6)]
+    test_data, test_labels = write("test_batch", 6, 99)
+
+    ds = load_dataset("cifar10", str(tmp_path))
+    assert ds.source == "real"
+    assert ds.train_images.shape == (20, 3, 32, 32)
+    assert ds.test_images.shape == (6, 3, 32, 32)
+    # the 3072 vector unflattens row-major to (C, H, W): a pointwise probe
+    # (channel 2, row 5, col 7 == flat index 2*1024 + 5*32 + 7)
+    np.testing.assert_allclose(
+        float(ds.train_images[0, 2, 5, 7]),
+        train[0][0][0, 2 * 1024 + 5 * 32 + 7] / 255.0)
+    np.testing.assert_allclose(
+        ds.train_images[0],
+        train[0][0][0].reshape(3, 32, 32).astype(np.float32) / 255.0)
+    # all five batches concatenate in order; test_batch stands alone
+    np.testing.assert_array_equal(
+        ds.train_labels,
+        np.concatenate([np.asarray(l, np.int32) for _, l in train]))
+    np.testing.assert_allclose(
+        ds.test_images[-1],
+        test_data[-1].reshape(3, 32, 32).astype(np.float32) / 255.0)
+    np.testing.assert_array_equal(ds.test_labels,
+                                  np.asarray(test_labels, np.int32))
+
+
+def test_real_loader_svhn_mat(tmp_path):
+    """Write tiny {train,test}_32x32.mat files in the exact SVHN format
+    (X: uint8 (32, 32, 3, N) HWCN; y: (N, 1) with labels 1..10 where 10
+    means digit 0 — the torchvision convention, SVHN.py:274-297) and load
+    them through the real path (data/real.py::_load_svhn)."""
+    from scipy.io import savemat
+
+    def write(split, n, seed):
+        g = np.random.default_rng(seed)
+        X = (g.random((32, 32, 3, n)) * 255).astype(np.uint8)
+        y = g.integers(1, 11, (n, 1)).astype(np.uint8)
+        y[0, 0] = 10  # guarantee the 10→0 remap path is exercised
+        savemat(tmp_path / f"{split}_32x32.mat", {"X": X, "y": y})
+        return X, y
+
+    Xtr, ytr = write("train", 8, 0)
+    Xte, yte = write("test", 5, 1)
+
+    ds = load_dataset("svhn", str(tmp_path))
+    assert ds.source == "real"
+    assert ds.train_images.shape == (8, 3, 32, 32)
+    assert ds.test_images.shape == (5, 3, 32, 32)
+    # HWCN → NCHW: pointwise probe (image 2, channel 1, row 5, col 7)
+    np.testing.assert_allclose(float(ds.train_images[2, 1, 5, 7]),
+                               Xtr[5, 7, 1, 2] / 255.0)
+    np.testing.assert_allclose(
+        ds.train_images[2],
+        Xtr[:, :, :, 2].transpose(2, 0, 1).astype(np.float32) / 255.0)
+    # the torchvision label convention: 10 → 0, everything else unchanged
+    exp = ytr.reshape(-1).astype(np.int32)
+    exp[exp == 10] = 0
+    np.testing.assert_array_equal(ds.train_labels, exp)
+    assert ds.train_labels[0] == 0
+    assert ds.train_labels.min() >= 0 and ds.train_labels.max() <= 9
+    exp_t = yte.reshape(-1).astype(np.int32)
+    exp_t[exp_t == 10] = 0
+    np.testing.assert_array_equal(ds.test_labels, exp_t)
+
+
 def test_emotion_8020_fallback_split(tmp_path):
     """When the validation folder is absent the emotion loader must fall
     back to an 80/20 train split (emotion_recognition.py:304-311)."""
@@ -185,6 +270,40 @@ def test_emotion_8020_fallback_split(tmp_path):
     ds2 = load_dataset("emotion", str(tmp_path))
     assert ds2.train_images.shape == (20, 1, 48, 48)
     assert ds2.test_images.shape == (1, 1, 48, 48)
+
+
+def test_fetch_helper(tmp_path, monkeypatch, capsys):
+    """data.fetch: presence detection, offline degradation to a layout doc,
+    the no-URL (kaggle) path, and a simulated successful download."""
+    from cnn_pde_tpu.data import fetch as F
+
+    # offline (no egress here): must degrade to the layout doc, not raise
+    monkeypatch.setattr(F, "_download",
+                        lambda *a, **k: (_ for _ in ()).throw(OSError("no net")))
+    assert F.fetch("svhn", str(tmp_path)) == "unavailable"
+    out = capsys.readouterr().out
+    assert "train,test}_32x32.mat" in out and "--synthetic" in out
+
+    # emotion has no direct URL: instructions, not an attempt
+    assert F.fetch("emotion", str(tmp_path)) == "unavailable"
+    assert "kagglehub" in capsys.readouterr().out
+
+    # simulated successful download lands the exact load_dataset layout
+    def fake_download(url, dest, timeout=30.0):
+        import os
+        os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+        with open(dest, "wb") as f:
+            f.write(b"stub")
+    monkeypatch.setattr(F, "_download", fake_download)
+    assert F.fetch("svhn", str(tmp_path)) == "downloaded"
+    assert (tmp_path / "train_32x32.mat").exists()
+    assert F.fetch("svhn", str(tmp_path)) == "present"
+
+    # --layout prints every dataset's expected path, offline-safe
+    assert F.main(["--layout", "--data-dir", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    for name in ("MNIST/raw", "cifar-10-batches-py", "tiny-imagenet-200"):
+        assert name in out
 
 
 def test_tiny_imagenet_corrupt_file_fallback(tmp_path):
