@@ -113,6 +113,15 @@ class TinyImageNetClassifier(Module):
         ns = {}
         if self.use_pde:
             x, ns["diff"] = self.diff.apply(params["diff"], state["diff"], x, ctx)
+        y, ns_bb = self.backbone(params, state, x, ctx)
+        ns.update(ns_bb)
+        return y, ns
+
+    def backbone(self, params, state, x, ctx):
+        """The ResNet stages after the (optional) PDE front-end — split out
+        so spatially-sharded front-ends (parallel/spatial_model.py) can reuse
+        the identical classifier path."""
+        ns = {}
         x, ns["conv1"] = self.conv1.apply(params["conv1"], state["conv1"], x, ctx)
         x, ns["bn1"] = self.bn1.apply(params["bn1"], state["bn1"], x, ctx)
         x = jax.nn.relu(x)

@@ -11,7 +11,7 @@ from .multihost import (global_batch_from_local, initialize,
                         is_multihost, local_batch_slice)
 from .spatial import (adi_strang_step_spatial, ftcs_evolve_spatial,
                       laplacian_step_spatial)
-from .spatial_model import SpatialFTCSClassifier
+from .spatial_model import SpatialFTCSClassifier, SpatialTinyImageNetClassifier
 from .branch_parallel import enable_branch_parallel
 from .tensor_parallel import (make_tp_train_step, replicated_like,
                               shard_pytree, tp_param_specs)
@@ -35,6 +35,7 @@ __all__ = [
     "ftcs_evolve_spatial",
     "laplacian_step_spatial",
     "SpatialFTCSClassifier",
+    "SpatialTinyImageNetClassifier",
     "enable_branch_parallel",
     "make_tp_train_step",
     "replicated_like",

@@ -14,9 +14,9 @@ import jax.numpy as jnp
 
 from ..nn import BatchNorm, Dropout, Flatten, Linear, Module, ReLU, Sequential
 from ..pde.spectral import FourierFTCSLayer
-from .spatial import ftcs_evolve_spatial
+from .spatial import ftcs_evolve_spatial, laplacian_step_spatial
 
-__all__ = ["SpatialFTCSClassifier"]
+__all__ = ["SpatialFTCSClassifier", "SpatialTinyImageNetClassifier"]
 
 
 class SpatialFTCSClassifier(Module):
@@ -53,3 +53,46 @@ class SpatialFTCSClassifier(Module):
         u = ftcs_evolve_spatial(self.mesh, u, alpha, beta, self.pde.Nt)
         y, sh = self.head.apply(params["head"], state["head"], u[:, None], ctx)
         return y, {"diff": state["diff"], "head": sh}
+
+
+class SpatialTinyImageNetClassifier(Module):
+    """TinyImageNetClassifier (M13) with its 64×64 ResidualDiffusion
+    front-end spatially sharded — the SURVEY §2.6 item-2 target map.
+
+    The evolution replicates ResidualDiffusion.apply exactly (clamp α to
+    [eps, 0.15], per-channel scaling, conv-Laplacian step, damped 0.1
+    residual — tiny_imagenet.py:34-51) but runs the Laplacian under
+    shard_map with H over the mesh's 'spatial' axis: one ppermute halo row
+    per neighbor, zero rows at the global edges
+    (spatial.laplacian_step_spatial).  The ResNet backbone is the SAME
+    module path as the unsharded model (TinyImageNetClassifier.backbone),
+    so params/state pytrees are interchangeable and logits match the
+    unsharded model exactly (validated in tests/test_parallel.py and
+    dryrun stage 7)."""
+
+    def __init__(self, mesh, num_classes=200, dropout_rate=0.3):
+        from ..models.tiny_imagenet import TinyImageNetClassifier
+
+        self.mesh = mesh
+        self.inner = TinyImageNetClassifier(num_classes=num_classes,
+                                            use_pde=True,
+                                            dropout_rate=dropout_rate)
+        self.diff = self.inner.diff
+
+    def init(self, key):
+        return self.inner.init(key)
+
+    def apply(self, params, state, x, ctx):
+        d = self.diff
+        u = x
+        for _ in range(d.num_steps):
+            alpha_eff = jnp.clip(params["diff"]["alpha_base"], d.eps,
+                                 d.max_coeff)
+            u_scaled = u * params["diff"]["channel_scaling"][None, :, None,
+                                                             None]
+            u_new = laplacian_step_spatial(self.mesh, u_scaled, alpha_eff,
+                                           dt=d.dt)
+            u = u + 0.1 * (u_new - u)
+        y, ns = self.inner.backbone(params, state, u, ctx)
+        ns["diff"] = state["diff"]
+        return y, ns

@@ -232,6 +232,62 @@ def test_laplacian_spatial_matches_unsharded(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_spatial_tiny_model_matches_unsharded(rng, key):
+    """The FULL 64×64 TinyImageNetClassifier (ResidualDiffusion front-end +
+    ResNet backbone) with H sharded over 'spatial' must produce the same
+    logits as the unsharded model, and one spatially-sharded train step must
+    run (VERDICT r2 #4 / SURVEY §2.6 item 2's named target map)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cnn_pde_tpu.models import TinyImageNetClassifier
+    from cnn_pde_tpu.nn import Ctx
+    from cnn_pde_tpu.parallel import SpatialTinyImageNetClassifier
+    from cnn_pde_tpu.train import build_optimizer, cross_entropy
+
+    mesh = make_mesh(data=2, spatial=4)
+    num_classes = 20
+    m_ref = TinyImageNetClassifier(num_classes=num_classes)
+    m_sp = SpatialTinyImageNetClassifier(mesh, num_classes=num_classes)
+    params, state = m_ref.init(key)
+    x = jnp.asarray(rng.standard_normal((4, 3, 64, 64)).astype(np.float32))
+
+    ref = jax.jit(lambda p, x: m_ref.apply(p, state, x, Ctx(train=False))[0]
+                  )(params, x)
+    batch_s = NamedSharding(mesh, P("data", None, "spatial", None))
+    out = jax.jit(lambda p, x: m_sp.apply(p, state, x, Ctx(train=False))[0],
+                  in_shardings=(None, batch_s))(params, jax.device_put(x, batch_s))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # one full train step with H over 'spatial' and the batch over 'data'
+    opt = build_optimizer(params, lambda s: 1e-3, clip_norm=1.0)
+    opt_state = opt.init(params)
+    labels = jnp.asarray(rng.integers(0, num_classes, 4).astype(np.int32))
+
+    def train_step(p, o, images, labels, rng):
+        def loss_fn(p):
+            logits, _ = m_sp.apply(p, state, images, Ctx(train=True, rng=rng))
+            return cross_entropy(logits, labels, 0.1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    rep = NamedSharding(mesh, P())
+    step = jax.jit(train_step,
+                   in_shardings=(rep, rep, batch_s,
+                                 NamedSharding(mesh, P("data")), rep),
+                   out_shardings=(rep, rep, rep))
+    p2, _, loss = step(params, opt_state, jax.device_put(x, batch_s),
+                       jax.device_put(labels, NamedSharding(mesh, P("data"))),
+                       jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    # the PDE coefficients actually received gradient through the sharded path
+    assert not np.allclose(np.asarray(p2["diff"]["alpha_base"]),
+                           np.asarray(params["diff"]["alpha_base"]))
+
+
 def test_device_epoch_under_dp_mesh(key):
     """device_epoch + DP mesh: the scanned epoch with batches sharded over
     'data' must match the single-device device_epoch run."""

@@ -197,6 +197,11 @@ def main():
         "dispatch_reduction": round(
             report["sequential"]["dispatches"]
             / max(report["microbatch"]["dispatches"], 1), 1)}))
+    report["speedup"] = {"microbatch_speedup": round(speedup, 2)}
+    from perf_record import record
+
+    print("record:", record("bench_http", report,
+                            extra={"preset": args.preset}))
 
 
 if __name__ == "__main__":

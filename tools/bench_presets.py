@@ -95,6 +95,10 @@ def main():
         print(f"{name}: {r['ms_per_step']} ms/step (bs {r['batch_size']}) "
               f"-> {r['images_per_sec']} img/s")
     print(json.dumps(results))
+    from perf_record import record
+
+    print("record:", record("bench_presets", results,
+                            extra={"amp": AMP, "steps": args.steps}))
 
 
 if __name__ == "__main__":

@@ -153,6 +153,10 @@ def main():
         if prev_impl is not None:
             set_default_impl(prev_impl)
     print(json.dumps(results))
+    from perf_record import record
+
+    print("record:", record("bench_serve", results,
+                            extra={"preset": args.preset, "n": args.n}))
 
 
 if __name__ == "__main__":

@@ -99,7 +99,13 @@ def _groups_hybrid(model, lr):
 
 FAMILIES = {
     # name: ref_file, build(ref)->model, preset, optimizer spec, schedule
-    # spec, label smoothing, clip, batch size, regularizer(ref, model)
+    # spec, label smoothing, clip, batch size, regularizer(ref, model).
+    # Optional statistical-power overrides (VERDICT r2 #3): `tpc_scale`
+    # multiplies --train-per-class and `epochs` replaces --epochs for
+    # families whose seed spread was too wide to falsify anything at the
+    # default fixture size (fashion ±30, hybrid ±34 at tpc=40/epochs=5),
+    # and `epochs` also CHEAPENS tiny_imagenet so its torch-CPU side can
+    # afford n=8 seeds (at 5 epochs 8 seeds needed >4 h and timed out).
     "mnist": dict(
         ref_file="mnist_test", preset="mnist",
         build=lambda ref: ref.PDEClassifier(dx=1.0, dy=1.0),
@@ -111,7 +117,7 @@ FAMILIES = {
         build=lambda ref: ref.FashionPDEClassifier(),
         lr=2e-3, wd=5e-4, groups=None,
         sched=("cosine", dict(t_max=5)), smoothing=0.1, clip=1.0, batch=128,
-        reg=None),
+        reg=None, tpc_scale=4, epochs=8),
     "svhn": dict(
         ref_file="SVHN", preset="svhn",
         build=lambda ref: ref.PDEClassifier(),
@@ -131,7 +137,8 @@ FAMILIES = {
         sched=("cosine", dict(t_max=None)),
         smoothing=0.1, clip=1.0, batch=64,
         reg=lambda ref, m: ref.hybrid_pde_regularization(
-            m, alpha1=2e-4, alpha2=1e-4, alpha3=1e-6)),
+            m, alpha1=2e-4, alpha2=1e-4, alpha3=1e-6),
+        tpc_scale=3, epochs=8),
     "emotion": dict(
         ref_file="emotion_recognition", preset="emotion",
         build=lambda ref: ref.DiffusionClassifier(img_size=48, num_classes=7,
@@ -145,7 +152,7 @@ FAMILIES = {
             num_classes=200, use_pde=True),
         lr=1e-3, wd=1e-4, groups=None,
         sched=("onecycle", dict(max_lr=1e-2, pct_start=0.1)),
-        smoothing=0.1, clip=1.0, batch=32, reg=None),
+        smoothing=0.1, clip=1.0, batch=32, reg=None, epochs=3),
 }
 
 
@@ -273,8 +280,16 @@ def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", nargs="*", default=list(FAMILIES))
-    ap.add_argument("--seeds", type=int, default=3)
-    ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument("--seeds", type=int, default=8,
+                    help="seeds per side — the default matches the "
+                    "PARITY.md protocol (8), so a rerun with defaults "
+                    "reproduces the documented table shape; tiny_imagenet "
+                    "is affordable at n=8 only because its per-family "
+                    "epochs override cheapens BOTH sides to 3 epochs")
+    ap.add_argument("--epochs", type=int, default=5,
+                    help="epochs per seed (per-family `epochs` overrides "
+                    "take precedence: fashion/hybrid train longer for "
+                    "statistical power, tiny shorter for torch-CPU cost)")
     ap.add_argument("--train-per-class", type=int, default=40)
     ap.add_argument("--test-per-class", type=int, default=10)
     ap.add_argument("--platform", default=None,
@@ -302,13 +317,15 @@ def main():
         fam = FAMILIES[name]
         preset = get_preset(fam["preset"])
         tpc, spc = args.train_per_class, args.test_per_class
+        tpc *= fam.get("tpc_scale", 1)
+        epochs = fam.get("epochs", args.epochs)
         if preset.dataset == "tiny_imagenet":
             tpc, spc = min(tpc, 4), min(spc, 2)  # 200 classes
         xs, ys, xt, yt = make_synthetic(preset.dataset, train_per_class=tpc,
                                         test_per_class=spc)
         n = xs.shape[0]
         bs = min(fam["batch"], max(n // 4, 8))
-        ours_accs, ours_t = train_ours(fam, xs, ys, xt, yt, args.epochs, bs,
+        ours_accs, ours_t = train_ours(fam, xs, ys, xt, yt, epochs, bs,
                                        args.seeds)
         if args.ours_only:
             print(json.dumps({"family": name,
@@ -316,13 +333,13 @@ def main():
                               "ours_mean": round(float(np.mean(ours_accs)), 2),
                               "ours_wall_s": round(ours_t, 1)}), flush=True)
             continue
-        ref_accs, ref_t = train_reference(fam, xs, ys, xt, yt, args.epochs,
+        ref_accs, ref_t = train_reference(fam, xs, ys, xt, yt, epochs,
                                           bs, args.seeds)
         quantum = 100.0 / xt.shape[0]  # one test image
         delta = float(np.mean(ours_accs) - np.mean(ref_accs))
         spread = float(max(np.ptp(ref_accs), np.ptp(ours_accs)))
         row = {
-            "family": name, "epochs": args.epochs, "batch": bs,
+            "family": name, "epochs": epochs, "batch": bs,
             "train_n": n, "test_n": int(xt.shape[0]), "seeds": args.seeds,
             "ref_accs": [round(a, 2) for a in ref_accs],
             "ours_accs": [round(a, 2) for a in ours_accs],
