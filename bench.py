@@ -264,10 +264,15 @@ def main():
             fail(f"device platform unreachable ({detail}); "
                  "no measurement taken")
 
-    # --quick shortens the chained loops (smoke-grade timing, e.g. off-TPU)
+    # --quick shortens the chained loops (smoke-grade timing, e.g. off-TPU).
+    # Chain lengths are sized so the per-sample dispatch+fetch round trip
+    # (15-60 ms over the tunnel) stays <5% of the timed window: bs-512 steps
+    # run ~6-7 ms (200 -> ~1.3 s/sample) and int8-serving batches ~0.2 ms
+    # (2000 -> ~0.4 s/sample).  BENCH_r02-era short chains (50 / 200) biased
+    # the champion fields 15-40% low vs the PERF.md harnesses.
     n_long = args.iters if args.quick else max(200, args.iters)
-    n_512 = args.iters if args.quick else max(50, args.iters)
-    n_serve = 20 if args.quick else 200
+    n_512 = args.iters if args.quick else max(200, args.iters)
+    n_serve = 20 if args.quick else 2000
 
     # PRIMARY: bs-64 training throughput (the BASELINE.md metric).  An
     # unrecoverable failure here still produces one parseable error line.

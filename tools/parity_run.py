@@ -338,30 +338,60 @@ def main():
         quantum = 100.0 / xt.shape[0]  # one test image
         delta = float(np.mean(ours_accs) - np.mean(ref_accs))
         spread = float(max(np.ptp(ref_accs), np.ptp(ours_accs)))
+        # Proper two-sample statistics (VERDICT r2 #3: "within spread" is
+        # nearly unfalsifiable when one outlier seed widens the ptp):
+        # per-side SEM and a Welch t-test on the seed means.  equal =
+        # p >= 0.05 -> the two training stacks are statistically
+        # indistinguishable at these n; a tiny p with small |delta| still
+        # passes the within-spread gate but flags a systematic offset.
+        sa, sb = np.var(ref_accs, ddof=1), np.var(ours_accs, ddof=1)
+        na, nb = len(ref_accs), len(ours_accs)
+        se = float(np.sqrt(sa / na + sb / nb))
+        if se > 0:
+            t_stat = delta / se
+            df = (sa / na + sb / nb) ** 2 / (
+                (sa / na) ** 2 / (na - 1) + (sb / nb) ** 2 / (nb - 1))
+            try:
+                from scipy.stats import t as _t
+                p_welch = float(2 * _t.sf(abs(t_stat), df))
+            except ImportError:  # normal approximation fallback
+                from math import erfc, sqrt
+                p_welch = float(erfc(abs(t_stat) / sqrt(2)))
+        else:
+            t_stat, p_welch = 0.0, 1.0
         row = {
             "family": name, "epochs": epochs, "batch": bs,
             "train_n": n, "test_n": int(xt.shape[0]), "seeds": args.seeds,
             "ref_accs": [round(a, 2) for a in ref_accs],
             "ours_accs": [round(a, 2) for a in ours_accs],
             "ref_mean": round(float(np.mean(ref_accs)), 2),
+            "ref_sem": round(float(np.sqrt(sa / na)), 2),
             "ours_mean": round(float(np.mean(ours_accs)), 2),
+            "ours_sem": round(float(np.sqrt(sb / nb)), 2),
             "delta": round(delta, 2),
             "seed_spread": round(spread, 2),
             "within_spread": bool(abs(delta) <= max(spread, quantum)),
+            "t_welch": round(float(t_stat), 3),
+            "p_welch": round(p_welch, 4),
+            "equal_at_0.05": bool(p_welch >= 0.05),
             "ref_wall_s": round(ref_t, 1), "ours_wall_s": round(ours_t, 1),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    print("\n| family | ref acc (mean ± spread) | ours | Δ | within spread |")
-    print("|---|---|---|---|---|")
+    print("\n| family | ref acc (mean ± SEM) | ours (mean ± SEM) | Δ "
+          "| Welch p | equal at 0.05 |")
+    print("|---|---|---|---|---|---|")
     for r in rows:
-        print(f"| {r['family']} | {r['ref_mean']} ± {r['seed_spread']} "
-              f"(n={r['seeds']}) | {r['ours_mean']} | {r['delta']:+.2f} | "
-              f"{'yes' if r['within_spread'] else 'NO'} |")
+        print(f"| {r['family']} | {r['ref_mean']} ± {r['ref_sem']} "
+              f"(n={r['seeds']}) | {r['ours_mean']} ± {r['ours_sem']} | "
+              f"{r['delta']:+.2f} | {r['p_welch']} | "
+              f"{'yes' if r['equal_at_0.05'] else 'NO'} |")
     print()
     print(json.dumps({"all_within_spread":
-                      all(r["within_spread"] for r in rows)}))
+                      all(r["within_spread"] for r in rows),
+                      "all_equal_at_0.05":
+                      all(r["equal_at_0.05"] for r in rows)}))
 
 
 if __name__ == "__main__":
