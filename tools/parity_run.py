@@ -378,6 +378,16 @@ def main():
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
+        # durable per-seed record (perf/parity.jsonl) so the PARITY.md
+        # table's statistics are recomputable without rerunning hours of
+        # torch-CPU training.  Wall times are renamed so the drift checker
+        # ("_s" = lower-better) never flags load-dependent torch wall time
+        # as a perf regression.
+        from perf_record import record
+        rec = {("ref_wall" if k == "ref_wall_s" else
+                "ours_wall" if k == "ours_wall_s" else k): v
+               for k, v in row.items()}
+        record("parity", {row["family"]: rec})
 
     print("\n| family | ref acc (mean ± SEM) | ours (mean ± SEM) | Δ "
           "| Welch p | equal at 0.05 |")
