@@ -76,6 +76,15 @@ def main():
                          "(Megatron column/row over the mesh's 'model' "
                          "axis); remaining devices form the 'data' axis, "
                          "so --tp composes with --dp")
+    ap.add_argument("--spatial", type=int, default=1, metavar="N",
+                    help="shard the PDE feature map's H axis over N devices "
+                         "(ppermute halo exchange per stencil step — "
+                         "parallel/spatial_model.py). Supported for the "
+                         "presets with large maps: emotion (48x48 FTCS) and "
+                         "tiny_imagenet (64x64 conv-Laplacian). Remaining "
+                         "devices form the 'data' axis (composes with --dp); "
+                         "params/checkpoints interchange with the unsharded "
+                         "model")
     ap.add_argument("--native-loader", action="store_true",
                     help="use the C++ prefetching batcher")
     ap.add_argument("--device-epoch", action="store_true",
@@ -120,7 +129,44 @@ def main():
     if args.steps:
         steps_per_epoch = min(steps_per_epoch, args.steps)
 
-    model = MODEL_REGISTRY[preset.model](**preset.model_kwargs)
+    mesh = None
+    image_spec = None
+    if args.dp or args.tp > 1 or args.spatial > 1:
+        from ..parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        if args.tp < 1 or args.spatial < 1 or \
+                n_dev % (args.tp * args.spatial) != 0:
+            raise SystemExit(
+                f"--tp {args.tp} x --spatial {args.spatial} must be >=1 "
+                f"and divide the visible device count ({n_dev})")
+        mesh = make_mesh(spatial=args.spatial, model=args.tp)
+        print(f"Mesh: data={mesh.shape['data']}"
+              f" x spatial={mesh.shape['spatial']}"
+              f" x model={mesh.shape['model']} ({mesh.devices.size} devices)")
+
+    if args.spatial > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel import (SpatialFTCSClassifier,
+                                SpatialTinyImageNetClassifier)
+
+        if preset.model == "emotion":
+            model = SpatialFTCSClassifier(
+                mesh, num_classes=preset.num_classes,
+                dropout_rate=preset.model_kwargs.get("dropout_rate", 0.3))
+        elif preset.model == "tiny_imagenet":
+            model = SpatialTinyImageNetClassifier(
+                mesh,
+                num_classes=preset.model_kwargs.get("num_classes", 200))
+        else:
+            raise SystemExit(
+                "--spatial supports the large-map presets only "
+                "(emotion, tiny_imagenet); the 28-32 px families have "
+                "nothing to shard")
+        image_spec = P("data", None, "spatial", None)
+    else:
+        model = MODEL_REGISTRY[preset.model](**preset.model_kwargs)
     # the reference prints parameter totals + the PDE-group split at train
     # start (cifar10.py:413-420, SVHN.py:310, cifar_2version.py:480-481)
     from ..data import SYNTHETIC_SPECS
@@ -159,20 +205,8 @@ def main():
                                                     else None),
                                       max_steps_per_epoch=args.steps)
     augment_fn = build_augment_fn(preset.augment)
-    mesh = None
-    if args.dp or args.tp > 1:
-        from ..parallel import make_mesh
-
-        n_dev = len(jax.devices())
-        if args.tp < 1 or n_dev % args.tp != 0:
-            raise SystemExit(
-                f"--tp {args.tp} must be >=1 and divide the visible device "
-                f"count ({n_dev})")
-        mesh = make_mesh(model=args.tp)
-        print(f"Mesh: data={mesh.shape['data']} x model={mesh.shape['model']}"
-              f" ({mesh.devices.size} devices)")
     trainer = Trainer(model, config, schedule, augment_fn=augment_fn,
-                      mesh=mesh, tp=args.tp > 1)
+                      mesh=mesh, tp=args.tp > 1, image_spec=image_spec)
 
     initial = None
     if args.init_from_torch:

@@ -136,7 +136,8 @@ class TrainState:
 
 class Trainer:
     def __init__(self, model: Module, config: TrainConfig, schedule,
-                 augment_fn: Optional[Callable] = None, mesh=None, tp=False):
+                 augment_fn: Optional[Callable] = None, mesh=None, tp=False,
+                 image_spec=None):
         """augment_fn(rng, images) -> images, applied on device inside the
         jit'd train step (train batches only).
 
@@ -149,13 +150,21 @@ class Trainer:
         stacks Megatron column/row-parallel over that axis
         (parallel/tensor_parallel.py::tp_param_specs); PDE coefficients and
         everything too small to split stay replicated.  Composes with DP on
-        the same mesh (batch over 'data', FC weights over 'model')."""
+        the same mesh (batch over 'data', FC weights over 'model').
+
+        image_spec: optional PartitionSpec for IMAGE batches (labels always
+        shard P('data')).  Default P('data') = pure batch sharding; pass
+        P('data', None, 'spatial', None) when the model is a spatially
+        sharded composition (parallel/spatial_model.py) so batches arrive
+        already laid out for the shard_map evolution instead of being
+        resharded at its boundary."""
         self.model = model
         self.config = config
         self.schedule = schedule
         self.augment_fn = augment_fn
         self.mesh = mesh
         self.tp = bool(tp)
+        self.image_spec = image_spec
         self._train_step = None
         self._eval_step = None
         self._epoch_fn = None
@@ -269,9 +278,13 @@ class Trainer:
         # Donate params/model_state/opt_state: they're consumed and replaced
         # every step, so XLA can update in place (halves parameter HBM traffic).
         if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
             from ..parallel.mesh import dp_shardings
 
             batch_s, rep_s = dp_shardings(self.mesh)
+            img_s = (NamedSharding(self.mesh, self.image_spec)
+                     if self.image_spec is not None else batch_s)
             param_s = self._param_sharding(params_example)
             # Under TP the opt state's sharding is whatever opt.init
             # inherited from the committed params (moments shard with their
@@ -279,7 +292,7 @@ class Trainer:
             opt_s = None if self.tp else rep_s
             jitted = jax.jit(
                 train_step,
-                in_shardings=(param_s, rep_s, opt_s, None, batch_s, batch_s,
+                in_shardings=(param_s, rep_s, opt_s, None, img_s, batch_s,
                               None),
                 out_shardings=(param_s, rep_s, opt_s, rep_s, rep_s),
                 donate_argnums=(0, 1, 2),
@@ -307,6 +320,7 @@ class Trainer:
             self._train_step = self._make_train_step(params_example)
         raw_step = self._train_step.raw
         mesh = self.mesh
+        image_spec = self.image_spec
 
         def epoch_fn(params, model_state, opt_state, step0,
                      images_all, labels_all, idx, base_rng):
@@ -320,7 +334,8 @@ class Trainer:
                 if mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
-                    spec = P("data", *([None] * (bi.ndim - 1)))
+                    spec = (image_spec if image_spec is not None
+                            else P("data", *([None] * (bi.ndim - 1))))
                     bi = jax.lax.with_sharding_constraint(
                         bi, NamedSharding(mesh, spec))
                     bl = jax.lax.with_sharding_constraint(
@@ -514,6 +529,7 @@ class Trainer:
         if self._eval_epoch_fn is None:
             model = self.model
             mesh = self.mesh
+            image_spec = self.image_spec
 
             def eval_epoch(params, model_state, images):
                 def body(carry, imgs):
@@ -521,9 +537,10 @@ class Trainer:
                         from jax.sharding import (NamedSharding,
                                                   PartitionSpec as P)
 
+                        spec = (image_spec if image_spec is not None else
+                                P("data", *([None] * (imgs.ndim - 1))))
                         imgs = jax.lax.with_sharding_constraint(
-                            imgs, NamedSharding(
-                                mesh, P("data", *([None] * (imgs.ndim - 1)))))
+                            imgs, NamedSharding(mesh, spec))
                     logits, _ = model.apply(params, model_state, imgs,
                                             Ctx(train=False))
                     return carry, jnp.argmax(logits, -1)

@@ -288,6 +288,28 @@ def test_spatial_tiny_model_matches_unsharded(rng, key):
                            np.asarray(params["diff"]["alpha_base"]))
 
 
+def test_train_cli_spatial_flag(monkeypatch, capsys):
+    """`python -m cnn_pde_tpu.train --spatial 2` must build the
+    data x spatial mesh, wrap the preset model in its spatially-sharded
+    composition, and train end-to-end (the user-facing surface over
+    parallel/spatial_model.py)."""
+    import json
+    import sys
+
+    from cnn_pde_tpu.train.__main__ import main
+
+    monkeypatch.setattr(sys, "argv", [
+        "train", "--preset", "emotion", "--synthetic", "--epochs", "1",
+        "--steps", "2", "--batch-size", "8", "--spatial", "2", "--quiet",
+        "--no-preemption-handler"])
+    main()
+    out = capsys.readouterr().out
+    assert "data=4 x spatial=2" in out, out
+    result = json.loads(out.strip().splitlines()[-1])
+    assert result["preset"] == "emotion"
+    assert 0.0 <= result["best_acc"] <= 100.0
+
+
 def test_device_epoch_under_dp_mesh(key):
     """device_epoch + DP mesh: the scanned epoch with batches sharded over
     'data' must match the single-device device_epoch run."""
