@@ -231,7 +231,31 @@ def _train_reference_one(fam, ref, xs, ys, xt, yt, epochs, bs, seed):
 # --------------------------------------------------------------------------
 # our-side generic trainer
 
-def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds):
+_REF_MODULES = {}
+
+
+def _torch_seed_init(fam, seed):
+    """(params, state) imported from the ACTUAL torch model built under
+    ``torch.manual_seed(seed)`` — byte-identical to the init the reference
+    side of this same seed trains from (``_train_reference_one``).  Used by
+    --match-init to turn the accuracy comparison into a PAIRED design: same
+    init AND same per-epoch shuffle stream on both sides, so the per-seed
+    delta cancels seed-level init/data luck and only the training-dynamics
+    difference (dropout streams, fp reduction order) remains."""
+    import torch
+
+    from cnn_pde_tpu.compat import import_state_dict
+
+    if fam["ref_file"] not in _REF_MODULES:
+        _REF_MODULES[fam["ref_file"]] = load_ref(fam["ref_file"])
+    ref = _REF_MODULES[fam["ref_file"]]
+    torch.manual_seed(seed)
+    with contextlib.redirect_stdout(io.StringIO()):
+        model = fam["build"](ref)
+    return import_state_dict(model.state_dict(), fam["preset"])
+
+
+def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds, match_init=False):
     import jax
 
     from cnn_pde_tpu.data import ArrayDataset
@@ -268,7 +292,9 @@ def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds):
         # epoch-0 permutation reuse seed 0's epoch-1 permutation
         trainer.config.seed = seed * 1009
         trainer._base_rng = None
-        state = trainer.init_state(jax.random.PRNGKey(seed), None)
+        initial = _torch_seed_init(fam, seed) if match_init else None
+        state = trainer.init_state(jax.random.PRNGKey(seed), None,
+                                   initial=initial)
         for e in range(epochs):
             trainer.train_epoch(state, ds, e, verbose=False)
         accs.append(float(trainer.evaluate(state, ds)["acc"]))
@@ -299,6 +325,18 @@ def main():
     ap.add_argument("--ours-only", action="store_true",
                     help="skip the torch reference side (spot-check our "
                          "accuracies alone; no parity verdict)")
+    ap.add_argument("--match-init", action="store_true",
+                    help="PAIRED design: our side initializes each seed "
+                    "from the ACTUAL torch seed-init (compat."
+                    "import_state_dict), so per-seed deltas cancel init "
+                    "luck; adds d_mean/d_sem/p_paired to each row")
+    ap.add_argument("--ref-accs-from", default=None,
+                    help="JSONL file of earlier parity rows; when a family's "
+                    "row matches this run's fixture (epochs/batch/train_n/"
+                    "test_n) and covers >= --seeds seeds, reuse its ref_accs "
+                    "instead of re-training the torch side (hours of CPU). "
+                    "Valid for --match-init too: the reference side of seed "
+                    "s always trains from the torch.manual_seed(s) init.")
     args = ap.parse_args()
 
     if args.platform:
@@ -311,6 +349,20 @@ def main():
 
     from cnn_pde_tpu.data import make_synthetic
     from cnn_pde_tpu.utils.config import get_preset
+
+    ref_cache = {}
+    if args.ref_accs_from:
+        with open(args.ref_accs_from) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    r = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "family" in r and "ref_accs" in r:
+                    ref_cache[r["family"]] = r
 
     rows = []
     for name in args.families:
@@ -326,15 +378,29 @@ def main():
         n = xs.shape[0]
         bs = min(fam["batch"], max(n // 4, 8))
         ours_accs, ours_t = train_ours(fam, xs, ys, xt, yt, epochs, bs,
-                                       args.seeds)
+                                       args.seeds,
+                                       match_init=args.match_init)
         if args.ours_only:
             print(json.dumps({"family": name,
                               "ours_accs": [round(a, 2) for a in ours_accs],
                               "ours_mean": round(float(np.mean(ours_accs)), 2),
                               "ours_wall_s": round(ours_t, 1)}), flush=True)
             continue
-        ref_accs, ref_t = train_reference(fam, xs, ys, xt, yt, epochs,
-                                          bs, args.seeds)
+        cached = ref_cache.get(name)
+        if (cached is not None
+                and cached.get("epochs") == epochs
+                and cached.get("batch") == bs
+                and cached.get("train_n") == n
+                and cached.get("test_n") == int(xt.shape[0])
+                and len(cached.get("ref_accs", [])) >= args.seeds):
+            # seeds are range(seeds) on both sides, so a prefix is valid
+            ref_accs = cached["ref_accs"][:args.seeds]
+            ref_t = cached.get("ref_wall_s", cached.get("ref_wall", 0.0))
+            print(f"{name}: reusing ref_accs from {args.ref_accs_from} "
+                  f"(fixture match)", flush=True)
+        else:
+            ref_accs, ref_t = train_reference(fam, xs, ys, xt, yt, epochs,
+                                              bs, args.seeds)
         quantum = 100.0 / xt.shape[0]  # one test image
         delta = float(np.mean(ours_accs) - np.mean(ref_accs))
         spread = float(max(np.ptp(ref_accs), np.ptp(ours_accs)))
@@ -359,6 +425,31 @@ def main():
                 p_welch = float(erfc(abs(t_stat) / sqrt(2)))
         else:
             t_stat, p_welch = 0.0, 1.0
+        paired = {}
+        if args.match_init:
+            # paired per-seed deltas: seed s shares its torch init AND its
+            # per-epoch shuffle stream across sides, so d_s cancels
+            # init/data luck; a paired t-test on d is the right comparison
+            d = np.asarray(ours_accs) - np.asarray(ref_accs)
+            d_sem = float(np.std(d, ddof=1) / np.sqrt(len(d)))
+            if d_sem > 0:
+                t_p = float(np.mean(d)) / d_sem
+                try:
+                    from scipy.stats import t as _t2
+                    p_paired = float(2 * _t2.sf(abs(t_p), len(d) - 1))
+                except ImportError:
+                    from math import erfc, sqrt
+                    p_paired = float(erfc(abs(t_p) / sqrt(2)))
+            else:
+                p_paired = 1.0
+            paired = {
+                "match_init": True,
+                "d_seeds": [round(float(x), 2) for x in d],
+                "d_mean": round(float(np.mean(d)), 2),
+                "d_sem": round(d_sem, 2),
+                "p_paired": round(p_paired, 4),
+                "equal_paired_at_0.05": bool(p_paired >= 0.05),
+            }
         row = {
             "family": name, "epochs": epochs, "batch": bs,
             "train_n": n, "test_n": int(xt.shape[0]), "seeds": args.seeds,
@@ -375,6 +466,7 @@ def main():
             "p_welch": round(p_welch, 4),
             "equal_at_0.05": bool(p_welch >= 0.05),
             "ref_wall_s": round(ref_t, 1), "ours_wall_s": round(ours_t, 1),
+            **paired,
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -398,10 +490,20 @@ def main():
               f"{r['delta']:+.2f} | {r['p_welch']} | "
               f"{'yes' if r['equal_at_0.05'] else 'NO'} |")
     print()
-    print(json.dumps({"all_within_spread":
-                      all(r["within_spread"] for r in rows),
-                      "all_equal_at_0.05":
-                      all(r["equal_at_0.05"] for r in rows)}))
+    summary = {"all_within_spread": all(r["within_spread"] for r in rows),
+               "all_equal_at_0.05": all(r["equal_at_0.05"] for r in rows)}
+    if any("p_paired" in r for r in rows):
+        print("| family | paired Δ (mean ± SEM) | paired p | equal |")
+        print("|---|---|---|---|")
+        for r in rows:
+            if "p_paired" in r:
+                print(f"| {r['family']} | {r['d_mean']:+.2f} ± {r['d_sem']} "
+                      f"| {r['p_paired']} | "
+                      f"{'yes' if r['equal_paired_at_0.05'] else 'NO'} |")
+        print()
+        summary["all_equal_paired_at_0.05"] = all(
+            r["equal_paired_at_0.05"] for r in rows if "p_paired" in r)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
