@@ -34,10 +34,18 @@ class Ctx:
     The counter is Python-level and resets per trace, so rng use is
     deterministic in module call order (the jit'd step function re-derives the
     same folds every trace).
+
+    ``bn_stats=True`` puts ONLY the normalization layers in their
+    batch-statistics mode (compute batch stats, update running stats) while
+    everything stochastic (dropout) stays in eval behavior — the precise-BN
+    refresh pass (Trainer.refresh_bn_stats): recompute running statistics
+    under frozen final params so eval-mode activations match what the
+    network actually produces.  ``train=True`` implies both.
     """
 
-    def __init__(self, train: bool = False, rng=None):
+    def __init__(self, train: bool = False, rng=None, bn_stats: bool = False):
         self.train = train
+        self.bn_stats = bool(train or bn_stats)
         self._rng = rng
         self._count = 0
 
@@ -60,8 +68,10 @@ class Module:
         raise NotImplementedError
 
     # convenience for stateless forward in tests / inference
-    def __call__(self, params, state, x, *, train=False, rng=None):
-        return self.apply(params, state, x, Ctx(train=train, rng=rng))
+    def __call__(self, params, state, x, *, train=False, rng=None,
+                 bn_stats=False):
+        return self.apply(params, state, x,
+                          Ctx(train=train, rng=rng, bn_stats=bn_stats))
 
 
 class Sequential(Module):

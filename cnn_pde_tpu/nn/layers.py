@@ -114,7 +114,7 @@ class BatchNorm(Module):
         bshape = [1] * x.ndim
         bshape[axis] = self.num_features
 
-        if ctx.train:
+        if getattr(ctx, "bn_stats", ctx.train):
             mean = jnp.mean(x, axis=reduce_axes)
             var = jnp.mean((x - mean.reshape(bshape)) ** 2, axis=reduce_axes)
             n = x.size // self.num_features

@@ -60,6 +60,13 @@ def main():
                     help="jax_debug_nans: re-run the offending op eagerly "
                          "and raise at the first NaN (slow; debugging only)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bn-refresh", type=int, default=0, metavar="K",
+                    help="after training, recompute BatchNorm running stats "
+                    "with K precise-BN passes under the final params "
+                    "(Trainer.refresh_bn_stats) and re-evaluate — fixes the "
+                    "stale-EMA eval collapse this architecture family is "
+                    "exposed to (PARITY.md §bn-refresh); 66 passes leave "
+                    "~1e-3 of the stale stats at torch momentum 0.1")
     ap.add_argument("--bf16-moments", action="store_true",
                     help="store Adam's m/v moments in bf16 (halves the "
                          "optimizer's streaming traffic: −7%% tiny / −19%% "
@@ -264,6 +271,17 @@ def main():
         "wall_s": round(time.time() - t0, 2),
         "epochs": len(result["history"]),
     }
+    if args.bn_refresh and not result.get("preempted"):
+        trainer.refresh_bn_stats(state, dataset, batches=args.bn_refresh)
+        refreshed = trainer.evaluate(state, dataset)["acc"]
+        print(f"BN refresh ({args.bn_refresh} passes): "
+              f"test acc {refreshed:.2f}%")
+        out["bn_refresh_acc"] = round(refreshed, 2)
+        if args.checkpoint_dir:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(args.checkpoint_dir, state, tag="bn_refreshed",
+                            backend=args.checkpoint_backend)
     if result.get("preempted"):
         out["preempted"] = True
     print(json.dumps(out))

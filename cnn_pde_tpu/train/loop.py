@@ -587,6 +587,59 @@ class Trainer:
                 "predictions": np.concatenate(preds) if preds else np.array([]),
                 "labels": np.concatenate(labels_all) if labels_all else np.array([])}
 
+    def refresh_bn_stats(self, state: TrainState, dataset, *, batches=66,
+                         batch_size=None, seed=0):
+        """Precise-BN refresh: recompute BatchNorm running statistics under
+        the FINAL (frozen) params, in ONE device dispatch.
+
+        Why it exists: BN running stats are an exponential moving average
+        accumulated ALONGSIDE the parameter trajectory, so they describe the
+        activations of a mixture of recent past models, not the final one.
+        On this architecture family the PDE front-end keeps reshaping the
+        feature distribution late into training, and a handful of stale
+        per-feature stats can tip eval-mode accuracy off a cliff while
+        train-mode (batch-stat) accuracy sits at 100% — measured on the
+        fashion preset (PARITY.md §bn-refresh: eval 30% vs train-mode 100%,
+        stale features off by up to 9σ).  The torch reference has the same
+        exposure (same EMA semantics) and no remedy.
+
+        Mechanics: ``batches`` forward passes over shuffled train images in
+        EVAL preprocessing (normalized, unaugmented) and eval stochastic
+        behavior (dropout OFF) with only the normalization layers in
+        batch-stat mode (``Ctx(bn_stats=True)``) — exactly the activations
+        the eval-mode network sees.  Params are untouched; the EMA
+        converges geometrically to the stationary stats of the final
+        params ((1-m)^66 ≈ 1e-3 residual at torch momentum 0.1).  Updates
+        ``state.model_state`` in place and returns the state.  Runs
+        replicated (BN stats are O(features); no sharding needed).
+        """
+        cfg = self.config
+        bs = batch_size or cfg.batch_size
+        images, _ = dataset.eval_arrays(split="train") \
+            if hasattr(dataset, "eval_arrays") else dataset
+        n = images.shape[0]
+        bs = min(bs, n)
+        rng = np.random.default_rng(seed)
+        # K shuffled fixed-shape batches, cycling the split when it is small
+        idx = np.concatenate([rng.permutation(n) for _ in
+                              range(int(np.ceil(batches * bs / n)))])
+        stack = jnp.asarray(
+            images[idx[:batches * bs]].reshape((batches, bs) +
+                                               images.shape[1:]))
+        model = self.model
+
+        @jax.jit
+        def refresh(params, model_state, stack):
+            def body(i, mstate):
+                _, new_state = model.apply(params, mstate, stack[i],
+                                           Ctx(bn_stats=True))
+                return new_state
+
+            return jax.lax.fori_loop(0, stack.shape[0], body, model_state)
+
+        state.model_state = refresh(state.params, state.model_state, stack)
+        return state
+
     def fit(self, state: TrainState, dataset, *, verbose=True,
             checkpoint_dir=None, checkpoint_backend="pickle",
             checkpoint_async=False, checkpoint_every=None,

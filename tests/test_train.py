@@ -669,3 +669,63 @@ def test_bf16_moments_checkpoint_resume_preserves_dtype(key, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(state2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bn_refresh_recovers_stale_running_stats(key):
+    """Precise-BN refresh (Trainer.refresh_bn_stats): BatchNorm running
+    statistics are an EMA accumulated alongside the parameter trajectory and
+    can go stale relative to the final params — measured eval collapse on
+    the fashion preset (PARITY.md §bn-refresh: train-mode 100% / eval-mode
+    30% on the same data).  The refresh recomputes stats under frozen final
+    params, with eval preprocessing and dropout OFF."""
+    from cnn_pde_tpu.models import FashionClassifier
+
+    ds = load_dataset("fashion_mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=16, synthetic_test_per_class=4)
+    model = FashionClassifier()
+    cfg = TrainConfig(epochs=2, batch_size=32, label_smoothing=0.1,
+                      log_every=1000)
+    trainer = Trainer(model, cfg, lambda s: 2e-3)
+    state = trainer.init_state(key, None)
+    for e in range(2):
+        trainer.train_epoch(state, ds, e, verbose=False)
+    healthy = trainer.evaluate(state, ds)["acc"]
+
+    # corrupt the running stats (the stale-EMA failure mode, exaggerated)
+    def corrupt(path, leaf):
+        name = str(path[-1])
+        if "mean" in name:
+            return leaf + 3.0
+        if "var" in name:
+            return leaf * 25.0
+        return leaf
+
+    import jax.tree_util as jtu
+    state.model_state = jtu.tree_map_with_path(corrupt, state.model_state)
+    broken = trainer.evaluate(state, ds)["acc"]
+    assert broken < healthy  # the corruption must actually bite
+
+    params_before = jax.tree_util.tree_leaves(state.params)
+    trainer.refresh_bn_stats(state, ds, batches=66)
+    # params untouched — refresh only rewrites normalization statistics
+    for a, b in zip(params_before, jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    recovered = trainer.evaluate(state, ds)["acc"]
+    assert recovered >= healthy - 1e-6, (broken, healthy, recovered)
+
+    # the refresh pass must not consume rng (dropout stays OFF): a Ctx
+    # without an rng raises if any stochastic layer asks for one, and
+    # FashionClassifier carries dropout(0.15) — reaching here proves it,
+    # but pin it structurally too
+    from cnn_pde_tpu.nn import Ctx
+
+    ctx = Ctx(bn_stats=True)
+    assert ctx.bn_stats and not ctx.train
+    logits, new_state = model.apply(state.params, state.model_state,
+                                    jnp.asarray(ds.test_images[:8]), ctx)
+    # bn_stats mode DID update the stats pytree (not a no-op eval pass)
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.model_state),
+                        jax.tree_util.tree_leaves(new_state)))
+    assert changed
