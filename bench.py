@@ -7,7 +7,9 @@ backward + grouped-AdamW update, reference batch size 64, cifar10.py:407) and
 prints ONE JSON line.  The line also carries the measured champion configs
 (PERF.md): bs-512 AMP training throughput (`value_bs512`) and W8A8
 int8-linearized serving throughput (`serving_img_per_sec`,
-serve.linearize_pde_layers dtype=int8, bs 512).
+serve.linearize_pde_layers dtype=int8, bs 1024 — the measured serving
+frontier: int8 keeps climbing past bs 512 while bf16 declines,
+PERF.md §serving-batch-frontier).
 
 Fault tolerance (VERDICT r2 #1): the axon tunnel can drop mid-compile
 (`remote_compile: read body closed` — BENCH_r02.json) or mid-execution.
@@ -291,8 +293,18 @@ def main():
     # SECONDARY champion configs (PERF.md): failures null the field but the
     # primary record stays green.
     errors = {}
-    value_bs512 = serving_img_per_sec = None
+    value_bs256 = value_bs512 = serving_img_per_sec = None
     if not args.no_champions:
+        try:
+            # bs 256 is the measured TRAINING throughput peak (PERF.md
+            # §train-batch-frontier: 84k > 79k @512 > 71k @1024 in one
+            # window); bs 512 kept for cross-round comparability
+            n_256 = args.iters if args.quick else max(400, args.iters)
+            value_bs256 = _retry("train bs256", lambda: measure_train(
+                256, args.iters, n_256, args.amp,
+                want_cost=False))["img_per_sec"]
+        except Exception as e:  # noqa: BLE001
+            errors["bs256"] = f"{type(e).__name__}: {str(e)[:200]}"
         try:
             value_bs512 = _retry("train bs512", lambda: measure_train(
                 512, args.iters, n_512, args.amp,
@@ -301,8 +313,8 @@ def main():
             errors["bs512"] = f"{type(e).__name__}: {str(e)[:200]}"
         try:
             serving_img_per_sec = _retry(
-                "serving int8 bs512",
-                lambda: measure_serving_int8(512, n_serve))["img_per_sec"]
+                "serving int8 bs1024",
+                lambda: measure_serving_int8(1024, n_serve))["img_per_sec"]
         except Exception as e:  # noqa: BLE001
             errors["serving"] = f"{type(e).__name__}: {str(e)[:200]}"
 
@@ -314,12 +326,15 @@ def main():
         # the BASELINE.md primary metric pairs throughput with epoch time
         # (50k-image CIFAR-10 epoch; reference CPU epoch ≈ 69.5 min)
         "epoch_s": round(50_000 / img_per_sec, 2),
-        # measured champion configs (PERF.md §all-presets, §linearized-int8)
+        # measured champion configs (PERF.md §train-batch-frontier,
+        # §serving-batch-frontier)
+        "value_bs256": (round(value_bs256, 2)
+                        if value_bs256 is not None else None),
         "value_bs512": (round(value_bs512, 2)
                         if value_bs512 is not None else None),
         "serving_img_per_sec": (round(serving_img_per_sec, 1)
                                 if serving_img_per_sec is not None else None),
-        "serving_config": "linearized int8 W8A8, bs 512, labels",
+        "serving_config": "linearized int8 W8A8, bs 1024, labels",
         # utilization: the step is HBM/latency-bound (PERF.md §roofline),
         # so hbm_util is the speed-of-light axis; MFU is for completeness.
         # XLA's "bytes accessed" counts every op's operands+outputs, i.e. an
