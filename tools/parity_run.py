@@ -159,7 +159,7 @@ FAMILIES = {
 # --------------------------------------------------------------------------
 # reference-side generic trainer
 
-def train_reference(fam, xs, ys, xt, yt, epochs, bs, seeds):
+def train_reference(fam, xs, ys, xt, yt, epochs, bs, seeds, bn_refresh=0):
     import torch
 
     ref = load_ref(fam["ref_file"])
@@ -167,11 +167,37 @@ def train_reference(fam, xs, ys, xt, yt, epochs, bs, seeds):
     t0 = time.time()
     for seed in range(seeds):
         accs.append(_train_reference_one(fam, ref, xs, ys, xt, yt, epochs,
-                                         bs, seed))
+                                         bs, seed, bn_refresh=bn_refresh))
     return accs, time.time() - t0
 
 
-def _train_reference_one(fam, ref, xs, ys, xt, yt, epochs, bs, seed):
+def _torch_precise_bn(model, xs, bs, batches):
+    """Precise-BN refresh for the torch side, mirroring
+    ``Trainer.refresh_bn_stats`` exactly: ``batches`` shuffled fixed-shape
+    train batches (rng seed 0, cycling the split) forwarded under the frozen
+    final params with ONLY the BatchNorm layers in train mode (dropout off,
+    no optimizer), so both sides' running-stat EMAs converge to the
+    stationary stats of their final params before eval."""
+    import torch
+    import torch.nn as nn
+
+    model.eval()
+    for m in model.modules():
+        if isinstance(m, (nn.BatchNorm1d, nn.BatchNorm2d, nn.BatchNorm3d)):
+            m.train()
+    n = xs.shape[0]
+    rng = np.random.default_rng(0)
+    idx = np.concatenate([rng.permutation(n)
+                          for _ in range(int(np.ceil(batches * bs / n)))])
+    with torch.no_grad(), contextlib.redirect_stdout(io.StringIO()):
+        for k in range(batches):
+            b = idx[k * bs:(k + 1) * bs]
+            model(torch.from_numpy(xs[b]))
+    model.eval()
+
+
+def _train_reference_one(fam, ref, xs, ys, xt, yt, epochs, bs, seed,
+                         bn_refresh=0):
     import torch
     import torch.nn as nn
 
@@ -219,6 +245,8 @@ def _train_reference_one(fam, ref, xs, ys, xt, yt, epochs, bs, seed):
                 sched.step()
         if not per_batch:
             sched.step()
+    if bn_refresh:
+        _torch_precise_bn(model, xs, bs, bn_refresh)
     model.eval()
     preds = []
     with torch.no_grad(), contextlib.redirect_stdout(io.StringIO()):
@@ -255,7 +283,8 @@ def _torch_seed_init(fam, seed):
     return import_state_dict(model.state_dict(), fam["preset"])
 
 
-def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds, match_init=False):
+def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds, match_init=False,
+               bn_refresh=0):
     import jax
 
     from cnn_pde_tpu.data import ArrayDataset
@@ -297,6 +326,9 @@ def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds, match_init=False):
                                    initial=initial)
         for e in range(epochs):
             trainer.train_epoch(state, ds, e, verbose=False)
+        if bn_refresh:
+            trainer.refresh_bn_stats(state, ds, batches=bn_refresh,
+                                     batch_size=bs)
         accs.append(float(trainer.evaluate(state, ds)["acc"]))
     return accs, time.time() - t0
 
@@ -330,6 +362,15 @@ def main():
                     "from the ACTUAL torch seed-init (compat."
                     "import_state_dict), so per-seed deltas cancel init "
                     "luck; adds d_mean/d_sem/p_paired to each row")
+    ap.add_argument("--bn-refresh", type=int, default=0, metavar="K",
+                    help="precise-BN refresh on BOTH sides before eval: K "
+                    "forward passes under the frozen final params with only "
+                    "the BatchNorm layers in batch-stat mode (ours: "
+                    "Trainer.refresh_bn_stats; torch: the mirrored "
+                    "_torch_precise_bn). Removes the BN running-stats "
+                    "eval-collapse luck (PARITY.md §bn-refresh) from the "
+                    "comparison, isolating the training dynamics. 66 leaves "
+                    "~1e-3 of the stale EMA at torch momentum 0.1.")
     ap.add_argument("--ref-accs-from", default=None,
                     help="JSONL file of earlier parity rows; when a family's "
                     "row matches this run's fixture (epochs/batch/train_n/"
@@ -379,7 +420,8 @@ def main():
         bs = min(fam["batch"], max(n // 4, 8))
         ours_accs, ours_t = train_ours(fam, xs, ys, xt, yt, epochs, bs,
                                        args.seeds,
-                                       match_init=args.match_init)
+                                       match_init=args.match_init,
+                                       bn_refresh=args.bn_refresh)
         if args.ours_only:
             print(json.dumps({"family": name,
                               "ours_accs": [round(a, 2) for a in ours_accs],
@@ -392,6 +434,7 @@ def main():
                 and cached.get("batch") == bs
                 and cached.get("train_n") == n
                 and cached.get("test_n") == int(xt.shape[0])
+                and cached.get("bn_refresh", 0) == args.bn_refresh
                 and len(cached.get("ref_accs", [])) >= args.seeds):
             # seeds are range(seeds) on both sides, so a prefix is valid
             ref_accs = cached["ref_accs"][:args.seeds]
@@ -400,7 +443,8 @@ def main():
                   f"(fixture match)", flush=True)
         else:
             ref_accs, ref_t = train_reference(fam, xs, ys, xt, yt, epochs,
-                                              bs, args.seeds)
+                                              bs, args.seeds,
+                                              bn_refresh=args.bn_refresh)
         quantum = 100.0 / xt.shape[0]  # one test image
         delta = float(np.mean(ours_accs) - np.mean(ref_accs))
         spread = float(max(np.ptp(ref_accs), np.ptp(ours_accs)))
@@ -453,6 +497,7 @@ def main():
         row = {
             "family": name, "epochs": epochs, "batch": bs,
             "train_n": n, "test_n": int(xt.shape[0]), "seeds": args.seeds,
+            **({"bn_refresh": args.bn_refresh} if args.bn_refresh else {}),
             "ref_accs": [round(a, 2) for a in ref_accs],
             "ours_accs": [round(a, 2) for a in ours_accs],
             "ref_mean": round(float(np.mean(ref_accs)), 2),
