@@ -19,8 +19,15 @@ T (cosine T_max / onecycle total_steps) on both sides.
 Requires the /root/reference mount.  Emits one JSON line per family plus a
 final markdown table (for PARITY.md) and a summary JSON.
 
-Usage: python tools/parity_run.py [--families mnist svhn ...] [--seeds 3]
+Usage: python tools/parity_run.py [--families mnist svhn ...] [--seeds 8]
                                   [--epochs 5] [--train-per-class 40]
+                                  [--match-init] [--bn-refresh 66]
+
+With ``--bn-refresh K`` each training run is evaluated TWICE — once under
+reference semantics (stale BN running-stat EMAs, exactly what the reference
+publishes) and once after a symmetric precise-BN refresh on both sides — so
+one torch-CPU training pass yields both the reference-semantics parity row
+and the bn-refresh-controlled row (PARITY.md §bn-refresh).
 """
 
 import argparse
@@ -160,15 +167,19 @@ FAMILIES = {
 # reference-side generic trainer
 
 def train_reference(fam, xs, ys, xt, yt, epochs, bs, seeds, bn_refresh=0):
-    import torch
-
+    """Returns (plain_accs, bn_accs_or_None, wall_s): each seed trains ONCE
+    and is evaluated under reference semantics and (if bn_refresh) again
+    after the precise-BN refresh — dual evaluation, single training cost."""
     ref = load_ref(fam["ref_file"])
-    accs = []
+    accs, accs_bn = [], []
     t0 = time.time()
     for seed in range(seeds):
-        accs.append(_train_reference_one(fam, ref, xs, ys, xt, yt, epochs,
-                                         bs, seed, bn_refresh=bn_refresh))
-    return accs, time.time() - t0
+        a, a_bn = _train_reference_one(fam, ref, xs, ys, xt, yt, epochs,
+                                       bs, seed, bn_refresh=bn_refresh)
+        accs.append(a)
+        if a_bn is not None:
+            accs_bn.append(a_bn)
+    return accs, (accs_bn if bn_refresh else None), time.time() - t0
 
 
 def _torch_precise_bn(model, xs, bs, batches):
@@ -245,8 +256,17 @@ def _train_reference_one(fam, ref, xs, ys, xt, yt, epochs, bs, seed,
                 sched.step()
         if not per_batch:
             sched.step()
+    acc_plain = _torch_eval(model, xt, yt)
+    acc_bn = None
     if bn_refresh:
         _torch_precise_bn(model, xs, bs, bn_refresh)
+        acc_bn = _torch_eval(model, xt, yt)
+    return acc_plain, acc_bn
+
+
+def _torch_eval(model, xt, yt):
+    import torch
+
     model.eval()
     preds = []
     with torch.no_grad(), contextlib.redirect_stdout(io.StringIO()):
@@ -310,7 +330,7 @@ def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds, match_init=False,
         clip_norm=fam["clip"], device_epoch=True)
     trainer = Trainer(model, config, schedule)  # no augmentation: see module
     t0 = time.time()
-    accs = []
+    accs, accs_bn = [], []
     for seed in range(seeds):  # one Trainer: the jit'd epoch is reused
         # vary the FULL stream per seed — init AND batch order AND dropout
         # rng (cfg.seed drives the shuffle/rng streams); otherwise all seeds
@@ -326,14 +346,133 @@ def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds, match_init=False,
                                    initial=initial)
         for e in range(epochs):
             trainer.train_epoch(state, ds, e, verbose=False)
+        # dual evaluation: reference-semantics accuracy FIRST (stale EMAs),
+        # then the precise-BN refresh (mutates state.model_state) and the
+        # controlled accuracy — one training run feeds both parity tables
+        accs.append(float(trainer.evaluate(state, ds)["acc"]))
         if bn_refresh:
             trainer.refresh_bn_stats(state, ds, batches=bn_refresh,
                                      batch_size=bs)
-        accs.append(float(trainer.evaluate(state, ds)["acc"]))
-    return accs, time.time() - t0
+            accs_bn.append(float(trainer.evaluate(state, ds)["acc"]))
+    return accs, (accs_bn if bn_refresh else None), time.time() - t0
 
 
 # --------------------------------------------------------------------------
+
+def build_row(name, epochs, bs, n, test_n, seeds, ref_accs, ours_accs,
+              ref_t, ours_t, match_init, bn_refresh, quantum):
+    """All parity statistics for one (family, bn-mode) pair: Welch two-sample
+    test on the seed means plus, under --match-init, the paired per-seed
+    deltas and paired t-test (seed s shares its torch init and shuffle
+    stream across sides)."""
+    delta = float(np.mean(ours_accs) - np.mean(ref_accs))
+    spread = float(max(np.ptp(ref_accs), np.ptp(ours_accs)))
+    sa, sb = np.var(ref_accs, ddof=1), np.var(ours_accs, ddof=1)
+    na, nb = len(ref_accs), len(ours_accs)
+    se = float(np.sqrt(sa / na + sb / nb))
+    if se > 0:
+        t_stat = delta / se
+        df = (sa / na + sb / nb) ** 2 / (
+            (sa / na) ** 2 / (na - 1) + (sb / nb) ** 2 / (nb - 1))
+        try:
+            from scipy.stats import t as _t
+            p_welch = float(2 * _t.sf(abs(t_stat), df))
+        except ImportError:  # normal approximation fallback
+            from math import erfc, sqrt
+            p_welch = float(erfc(abs(t_stat) / sqrt(2)))
+    else:
+        t_stat, p_welch = 0.0, 1.0
+    paired = {}
+    if match_init:
+        # paired per-seed deltas: seed s shares its torch init AND its
+        # per-epoch shuffle stream across sides, so d_s cancels
+        # init/data luck; a paired t-test on d is the right comparison
+        d = np.asarray(ours_accs) - np.asarray(ref_accs)
+        d_sem = float(np.std(d, ddof=1) / np.sqrt(len(d)))
+        if d_sem > 0:
+            t_p = float(np.mean(d)) / d_sem
+            try:
+                from scipy.stats import t as _t2
+                p_paired = float(2 * _t2.sf(abs(t_p), len(d) - 1))
+            except ImportError:
+                from math import erfc, sqrt
+                p_paired = float(erfc(abs(t_p) / sqrt(2)))
+        else:
+            p_paired = 1.0
+        paired = {
+            "match_init": True,
+            "d_seeds": [round(float(x), 2) for x in d],
+            "d_mean": round(float(np.mean(d)), 2),
+            "d_sem": round(d_sem, 2),
+            "p_paired": round(p_paired, 4),
+            "equal_paired_at_0.05": bool(p_paired >= 0.05),
+        }
+    return {
+        "family": name, "epochs": epochs, "batch": bs,
+        "train_n": n, "test_n": test_n, "seeds": seeds,
+        **({"bn_refresh": bn_refresh} if bn_refresh else {}),
+        "ref_accs": [round(a, 2) for a in ref_accs],
+        "ours_accs": [round(a, 2) for a in ours_accs],
+        "ref_mean": round(float(np.mean(ref_accs)), 2),
+        "ref_sem": round(float(np.sqrt(sa / na)), 2),
+        "ours_mean": round(float(np.mean(ours_accs)), 2),
+        "ours_sem": round(float(np.sqrt(sb / nb)), 2),
+        "delta": round(delta, 2),
+        "seed_spread": round(spread, 2),
+        "within_spread": bool(abs(delta) <= max(spread, quantum)),
+        "t_welch": round(float(t_stat), 3),
+        "p_welch": round(p_welch, 4),
+        "equal_at_0.05": bool(p_welch >= 0.05),
+        "ref_wall_s": round(ref_t, 1), "ours_wall_s": round(ours_t, 1),
+        **paired,
+    }
+
+
+def _record_row(row):
+    """Durable per-seed record (perf/parity.jsonl) so the PARITY.md table's
+    statistics are recomputable without rerunning hours of torch-CPU
+    training.  Wall times are renamed so the drift checker ("_s" =
+    lower-better) never flags load-dependent torch wall time as a perf
+    regression."""
+    from perf_record import record
+    rec = {("ref_wall" if k == "ref_wall_s" else
+            "ours_wall" if k == "ours_wall_s" else k): v
+           for k, v in row.items()}
+    key = row["family"] + (f"+bn{row['bn_refresh']}"
+                           if row.get("bn_refresh") else "")
+    record("parity", {key: rec})
+
+
+def _print_tables(rows, label):
+    if not rows:
+        return {}
+    print(f"\n[{label}] | family | ref acc (mean ± SEM) | ours (mean ± SEM) "
+          "| Δ | Welch p | equal at 0.05 |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['family']} | {r['ref_mean']} ± {r['ref_sem']} "
+              f"(n={r['seeds']}) | {r['ours_mean']} ± {r['ours_sem']} | "
+              f"{r['delta']:+.2f} | {r['p_welch']} | "
+              f"{'yes' if r['equal_at_0.05'] else 'NO'} |")
+    print()
+    summary = {f"all_within_spread_{label}":
+               all(r["within_spread"] for r in rows),
+               f"all_equal_at_0.05_{label}":
+               all(r["equal_at_0.05"] for r in rows)}
+    if any("p_paired" in r for r in rows):
+        print(f"[{label}] | family | paired Δ (mean ± SEM) | paired p "
+              "| equal |")
+        print("|---|---|---|---|")
+        for r in rows:
+            if "p_paired" in r:
+                print(f"| {r['family']} | {r['d_mean']:+.2f} ± {r['d_sem']} "
+                      f"| {r['p_paired']} | "
+                      f"{'yes' if r['equal_paired_at_0.05'] else 'NO'} |")
+        print()
+        summary[f"all_equal_paired_at_0.05_{label}"] = all(
+            r["equal_paired_at_0.05"] for r in rows if "p_paired" in r)
+    return summary
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -363,14 +502,17 @@ def main():
                     "import_state_dict), so per-seed deltas cancel init "
                     "luck; adds d_mean/d_sem/p_paired to each row")
     ap.add_argument("--bn-refresh", type=int, default=0, metavar="K",
-                    help="precise-BN refresh on BOTH sides before eval: K "
-                    "forward passes under the frozen final params with only "
-                    "the BatchNorm layers in batch-stat mode (ours: "
-                    "Trainer.refresh_bn_stats; torch: the mirrored "
-                    "_torch_precise_bn). Removes the BN running-stats "
-                    "eval-collapse luck (PARITY.md §bn-refresh) from the "
-                    "comparison, isolating the training dynamics. 66 leaves "
-                    "~1e-3 of the stale EMA at torch momentum 0.1.")
+                    help="DUAL evaluation: each trained model is scored "
+                    "under reference semantics AND again after a precise-BN "
+                    "refresh on BOTH sides (K forward passes under the "
+                    "frozen final params with only the BatchNorm layers in "
+                    "batch-stat mode — ours: Trainer.refresh_bn_stats; "
+                    "torch: the mirrored _torch_precise_bn), emitting two "
+                    "rows per family from ONE training run. The refreshed "
+                    "row removes the BN running-stats eval-collapse luck "
+                    "(PARITY.md §bn-refresh), isolating the training "
+                    "dynamics. 66 leaves ~1e-3 of the stale EMA at torch "
+                    "momentum 0.1.")
     ap.add_argument("--ref-accs-from", default=None,
                     help="JSONL file of earlier parity rows; when a family's "
                     "row matches this run's fixture (epochs/batch/train_n/"
@@ -403,9 +545,9 @@ def main():
                 except json.JSONDecodeError:
                     continue
                 if "family" in r and "ref_accs" in r:
-                    ref_cache[r["family"]] = r
+                    ref_cache[(r["family"], r.get("bn_refresh", 0))] = r
 
-    rows = []
+    rows, rows_bn = [], []
     for name in args.families:
         fam = FAMILIES[name]
         preset = get_preset(fam["preset"])
@@ -418,136 +560,62 @@ def main():
                                         test_per_class=spc)
         n = xs.shape[0]
         bs = min(fam["batch"], max(n // 4, 8))
-        ours_accs, ours_t = train_ours(fam, xs, ys, xt, yt, epochs, bs,
-                                       args.seeds,
-                                       match_init=args.match_init,
-                                       bn_refresh=args.bn_refresh)
+        ours_accs, ours_bn, ours_t = train_ours(
+            fam, xs, ys, xt, yt, epochs, bs, args.seeds,
+            match_init=args.match_init, bn_refresh=args.bn_refresh)
         if args.ours_only:
-            print(json.dumps({"family": name,
-                              "ours_accs": [round(a, 2) for a in ours_accs],
-                              "ours_mean": round(float(np.mean(ours_accs)), 2),
-                              "ours_wall_s": round(ours_t, 1)}), flush=True)
+            out = {"family": name,
+                   "ours_accs": [round(a, 2) for a in ours_accs],
+                   "ours_mean": round(float(np.mean(ours_accs)), 2),
+                   "ours_wall_s": round(ours_t, 1)}
+            if ours_bn:
+                out["ours_accs_bn"] = [round(a, 2) for a in ours_bn]
+                out["ours_mean_bn"] = round(float(np.mean(ours_bn)), 2)
+            print(json.dumps(out), flush=True)
             continue
-        cached = ref_cache.get(name)
-        if (cached is not None
-                and cached.get("epochs") == epochs
-                and cached.get("batch") == bs
-                and cached.get("train_n") == n
-                and cached.get("test_n") == int(xt.shape[0])
-                and cached.get("bn_refresh", 0) == args.bn_refresh
-                and len(cached.get("ref_accs", [])) >= args.seeds):
+
+        def _cache_ok(c):
+            return (c is not None
+                    and c.get("epochs") == epochs
+                    and c.get("batch") == bs
+                    and c.get("train_n") == n
+                    and c.get("test_n") == int(xt.shape[0])
+                    and len(c.get("ref_accs", [])) >= args.seeds)
+
+        c0 = ref_cache.get((name, 0))
+        cb = (ref_cache.get((name, args.bn_refresh))
+              if args.bn_refresh else None)
+        if _cache_ok(c0) and (not args.bn_refresh or _cache_ok(cb)):
             # seeds are range(seeds) on both sides, so a prefix is valid
-            ref_accs = cached["ref_accs"][:args.seeds]
-            ref_t = cached.get("ref_wall_s", cached.get("ref_wall", 0.0))
+            ref_accs = c0["ref_accs"][:args.seeds]
+            ref_bn = cb["ref_accs"][:args.seeds] if args.bn_refresh else None
+            ref_t = c0.get("ref_wall_s", c0.get("ref_wall", 0.0))
             print(f"{name}: reusing ref_accs from {args.ref_accs_from} "
                   f"(fixture match)", flush=True)
         else:
-            ref_accs, ref_t = train_reference(fam, xs, ys, xt, yt, epochs,
-                                              bs, args.seeds,
-                                              bn_refresh=args.bn_refresh)
+            ref_accs, ref_bn, ref_t = train_reference(
+                fam, xs, ys, xt, yt, epochs, bs, args.seeds,
+                bn_refresh=args.bn_refresh)
         quantum = 100.0 / xt.shape[0]  # one test image
-        delta = float(np.mean(ours_accs) - np.mean(ref_accs))
-        spread = float(max(np.ptp(ref_accs), np.ptp(ours_accs)))
         # Proper two-sample statistics (VERDICT r2 #3: "within spread" is
-        # nearly unfalsifiable when one outlier seed widens the ptp):
-        # per-side SEM and a Welch t-test on the seed means.  equal =
-        # p >= 0.05 -> the two training stacks are statistically
-        # indistinguishable at these n; a tiny p with small |delta| still
-        # passes the within-spread gate but flags a systematic offset.
-        sa, sb = np.var(ref_accs, ddof=1), np.var(ours_accs, ddof=1)
-        na, nb = len(ref_accs), len(ours_accs)
-        se = float(np.sqrt(sa / na + sb / nb))
-        if se > 0:
-            t_stat = delta / se
-            df = (sa / na + sb / nb) ** 2 / (
-                (sa / na) ** 2 / (na - 1) + (sb / nb) ** 2 / (nb - 1))
-            try:
-                from scipy.stats import t as _t
-                p_welch = float(2 * _t.sf(abs(t_stat), df))
-            except ImportError:  # normal approximation fallback
-                from math import erfc, sqrt
-                p_welch = float(erfc(abs(t_stat) / sqrt(2)))
-        else:
-            t_stat, p_welch = 0.0, 1.0
-        paired = {}
-        if args.match_init:
-            # paired per-seed deltas: seed s shares its torch init AND its
-            # per-epoch shuffle stream across sides, so d_s cancels
-            # init/data luck; a paired t-test on d is the right comparison
-            d = np.asarray(ours_accs) - np.asarray(ref_accs)
-            d_sem = float(np.std(d, ddof=1) / np.sqrt(len(d)))
-            if d_sem > 0:
-                t_p = float(np.mean(d)) / d_sem
-                try:
-                    from scipy.stats import t as _t2
-                    p_paired = float(2 * _t2.sf(abs(t_p), len(d) - 1))
-                except ImportError:
-                    from math import erfc, sqrt
-                    p_paired = float(erfc(abs(t_p) / sqrt(2)))
-            else:
-                p_paired = 1.0
-            paired = {
-                "match_init": True,
-                "d_seeds": [round(float(x), 2) for x in d],
-                "d_mean": round(float(np.mean(d)), 2),
-                "d_sem": round(d_sem, 2),
-                "p_paired": round(p_paired, 4),
-                "equal_paired_at_0.05": bool(p_paired >= 0.05),
-            }
-        row = {
-            "family": name, "epochs": epochs, "batch": bs,
-            "train_n": n, "test_n": int(xt.shape[0]), "seeds": args.seeds,
-            **({"bn_refresh": args.bn_refresh} if args.bn_refresh else {}),
-            "ref_accs": [round(a, 2) for a in ref_accs],
-            "ours_accs": [round(a, 2) for a in ours_accs],
-            "ref_mean": round(float(np.mean(ref_accs)), 2),
-            "ref_sem": round(float(np.sqrt(sa / na)), 2),
-            "ours_mean": round(float(np.mean(ours_accs)), 2),
-            "ours_sem": round(float(np.sqrt(sb / nb)), 2),
-            "delta": round(delta, 2),
-            "seed_spread": round(spread, 2),
-            "within_spread": bool(abs(delta) <= max(spread, quantum)),
-            "t_welch": round(float(t_stat), 3),
-            "p_welch": round(p_welch, 4),
-            "equal_at_0.05": bool(p_welch >= 0.05),
-            "ref_wall_s": round(ref_t, 1), "ours_wall_s": round(ours_t, 1),
-            **paired,
-        }
+        # nearly unfalsifiable when one outlier seed widens the ptp); under
+        # --match-init also the paired per-seed design (build_row).
+        row = build_row(name, epochs, bs, n, int(xt.shape[0]), args.seeds,
+                        ref_accs, ours_accs, ref_t, ours_t,
+                        args.match_init, 0, quantum)
         rows.append(row)
         print(json.dumps(row), flush=True)
-        # durable per-seed record (perf/parity.jsonl) so the PARITY.md
-        # table's statistics are recomputable without rerunning hours of
-        # torch-CPU training.  Wall times are renamed so the drift checker
-        # ("_s" = lower-better) never flags load-dependent torch wall time
-        # as a perf regression.
-        from perf_record import record
-        rec = {("ref_wall" if k == "ref_wall_s" else
-                "ours_wall" if k == "ours_wall_s" else k): v
-               for k, v in row.items()}
-        record("parity", {row["family"]: rec})
+        _record_row(row)
+        if args.bn_refresh:
+            row_bn = build_row(name, epochs, bs, n, int(xt.shape[0]),
+                               args.seeds, ref_bn, ours_bn, ref_t, ours_t,
+                               args.match_init, args.bn_refresh, quantum)
+            rows_bn.append(row_bn)
+            print(json.dumps(row_bn), flush=True)
+            _record_row(row_bn)
 
-    print("\n| family | ref acc (mean ± SEM) | ours (mean ± SEM) | Δ "
-          "| Welch p | equal at 0.05 |")
-    print("|---|---|---|---|---|---|")
-    for r in rows:
-        print(f"| {r['family']} | {r['ref_mean']} ± {r['ref_sem']} "
-              f"(n={r['seeds']}) | {r['ours_mean']} ± {r['ours_sem']} | "
-              f"{r['delta']:+.2f} | {r['p_welch']} | "
-              f"{'yes' if r['equal_at_0.05'] else 'NO'} |")
-    print()
-    summary = {"all_within_spread": all(r["within_spread"] for r in rows),
-               "all_equal_at_0.05": all(r["equal_at_0.05"] for r in rows)}
-    if any("p_paired" in r for r in rows):
-        print("| family | paired Δ (mean ± SEM) | paired p | equal |")
-        print("|---|---|---|---|")
-        for r in rows:
-            if "p_paired" in r:
-                print(f"| {r['family']} | {r['d_mean']:+.2f} ± {r['d_sem']} "
-                      f"| {r['p_paired']} | "
-                      f"{'yes' if r['equal_paired_at_0.05'] else 'NO'} |")
-        print()
-        summary["all_equal_paired_at_0.05"] = all(
-            r["equal_paired_at_0.05"] for r in rows if "p_paired" in r)
+    summary = _print_tables(rows, "reference-semantics")
+    summary.update(_print_tables(rows_bn, f"bn-refresh-{args.bn_refresh}"))
     print(json.dumps(summary))
 
 
