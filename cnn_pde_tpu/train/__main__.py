@@ -272,9 +272,24 @@ def main():
         "epochs": len(result["history"]),
     }
     if args.bn_refresh and not result.get("preempted"):
+        # Refresh the BEST model, not the last-epoch params: fit's best_acc
+        # may come from an earlier epoch, and refreshing the final params
+        # would make bn_refresh_acc incomparable to best_acc (and the
+        # 'bn_refreshed' checkpoint silently worse than 'best').  Without a
+        # checkpoint dir there is nothing to restore from — refresh the
+        # final-epoch params and say so.
+        refreshed_which = "final-epoch params"
+        if args.checkpoint_dir:
+            from .checkpoint import restore_state
+
+            try:
+                restore_state(state, args.checkpoint_dir, tag="best")
+                refreshed_which = "best checkpoint"
+            except (FileNotFoundError, OSError):
+                pass  # no eval fired / no best saved: refresh final params
         trainer.refresh_bn_stats(state, dataset, batches=args.bn_refresh)
         refreshed = trainer.evaluate(state, dataset)["acc"]
-        print(f"BN refresh ({args.bn_refresh} passes): "
+        print(f"BN refresh ({args.bn_refresh} passes, {refreshed_which}): "
               f"test acc {refreshed:.2f}%")
         out["bn_refresh_acc"] = round(refreshed, 2)
         if args.checkpoint_dir:

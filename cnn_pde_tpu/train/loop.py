@@ -592,6 +592,10 @@ class Trainer:
         """Precise-BN refresh: recompute BatchNorm running statistics under
         the FINAL (frozen) params, in ONE device dispatch.
 
+        ``dataset`` is either a dataset object exposing
+        ``eval_arrays(split="train")`` or a bare ``(images, labels)`` tuple
+        of arrays; anything else raises TypeError.
+
         Why it exists: BN running stats are an exponential moving average
         accumulated ALONGSIDE the parameter trajectory, so they describe the
         activations of a mixture of recent past models, not the final one.
@@ -615,8 +619,16 @@ class Trainer:
         """
         cfg = self.config
         bs = batch_size or cfg.batch_size
-        images, _ = dataset.eval_arrays(split="train") \
-            if hasattr(dataset, "eval_arrays") else dataset
+        if hasattr(dataset, "eval_arrays"):
+            images, _ = dataset.eval_arrays(split="train")
+        else:
+            try:
+                images, _ = dataset
+            except (TypeError, ValueError):
+                raise TypeError(
+                    "refresh_bn_stats expects a dataset exposing "
+                    ".eval_arrays(split=...) or an (images, labels) tuple; "
+                    f"got {type(dataset).__name__!r}") from None
         n = images.shape[0]
         bs = min(bs, n)
         rng = np.random.default_rng(seed)

@@ -711,7 +711,13 @@ def test_bn_refresh_recovers_stale_running_stats(key):
     for a, b in zip(params_before, jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     recovered = trainer.evaluate(state, ds)["acc"]
-    assert recovered >= healthy - 1e-6, (broken, healthy, recovered)
+    # The refresh recomputes stationary stats of the FINAL params from
+    # eval-transform activations, which need not reproduce the training-EMA
+    # accuracy bit-exactly on every platform/seed — require that it recovers
+    # the corruption-induced drop to within a couple of accuracy points
+    # rather than >= healthy - 1e-6 (advisor r3).
+    assert recovered > broken, (broken, healthy, recovered)
+    assert recovered >= healthy - 2.0, (broken, healthy, recovered)
 
     # the refresh pass must not consume rng (dropout stays OFF): a Ctx
     # without an rng raises if any stochastic layer asks for one, and
@@ -729,3 +735,28 @@ def test_bn_refresh_recovers_stale_running_stats(key):
         for a, b in zip(jax.tree_util.tree_leaves(state.model_state),
                         jax.tree_util.tree_leaves(new_state)))
     assert changed
+
+
+def test_refresh_bn_stats_dataset_forms(key):
+    """refresh_bn_stats accepts a dataset object OR a bare (images, labels)
+    tuple, and raises a clear TypeError on anything else (advisor r3)."""
+    from cnn_pde_tpu.models import FashionClassifier
+
+    ds = load_dataset("fashion_mnist", "/nonexistent", synthetic_ok=True,
+                      synthetic_train_per_class=4, synthetic_test_per_class=2)
+    model = FashionClassifier()
+    trainer = Trainer(model, TrainConfig(epochs=1, batch_size=8),
+                      lambda s: 1e-3)
+    state = trainer.init_state(key, None)
+
+    # tuple form == dataset form (same images, same seed → same stats)
+    state_t = trainer.init_state(key, None)
+    trainer.refresh_bn_stats(state, ds, batches=3)
+    trainer.refresh_bn_stats(state_t, ds.eval_arrays(split="train"),
+                             batches=3)
+    for a, b in zip(jax.tree_util.tree_leaves(state.model_state),
+                    jax.tree_util.tree_leaves(state_t.model_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(TypeError, match="eval_arrays"):
+        trainer.refresh_bn_stats(state, object(), batches=1)
