@@ -8,7 +8,11 @@
 # family, not the queue.  Logs: perf/parity_mi_<family>.log
 set -u
 cd "$(dirname "$0")/.."
-for fam in fashion_mnist svhn emotion cifar10_noconv cifar10_hybrid tiny_imagenet; do
+# Order = evidence value per VERDICT r3: the fashion bn66 control first (it
+# converts the weakest paired row into the tight-equivalence demonstration),
+# then hybrid n=6->8, then the three never-paired families, then tiny's
+# control (its paired reference-semantics row is already banked).
+for fam in fashion_mnist cifar10_hybrid svhn cifar10_noconv emotion tiny_imagenet; do
   echo "=== $fam start $(date -u +%FT%TZ) ==="
   nice -n 10 python tools/parity_run.py --match-init --bn-refresh 66 \
     --seeds 8 --families "$fam" --platform cpu \
