@@ -357,3 +357,102 @@ def test_device_eval_under_dp_mesh(key):
                     mesh=make_mesh(spatial=1)).evaluate(state, ds)
     assert ev_ref["acc"] == ev_dp["acc"]
     np.testing.assert_array_equal(ev_ref["predictions"], ev_dp["predictions"])
+
+
+# ---------------------------------------------------------------------------
+# Communication-shape certification (VERDICT r3 item 4): beyond values-equal,
+# assert each sharded kernel COMPILES to exactly the collectives its design
+# promises — the strongest multi-chip statement available without hardware
+# (the same HLO runs the same collective schedule on real ICI).
+
+def _audit(fn, *args):
+    from cnn_pde_tpu.parallel.hlo_audit import collective_counts, compile_text
+    return collective_counts(compile_text(fn, *args))
+
+
+def test_hlo_ftcs_spatial_collective_shape(rng):
+    """The halo-exchange FTCS evolution lowers to exactly ONE ppermute pair
+    (from-prev + from-next, inside the once-compiled scan body) and no
+    full-tensor collective of any other kind."""
+    from functools import partial
+
+    mesh = make_mesh(data=1, spatial=8)
+    u = jnp.asarray(rng.standard_normal((4, 48, 48)).astype(np.float32))
+    ab = jnp.asarray(rng.random((48, 48)).astype(np.float32) * 0.1)
+    c = _audit(partial(ftcs_evolve_spatial, mesh, nt=10), u, ab, ab)
+    assert c["collective-permute"] == 2, c
+    assert c["all-gather"] == c["all-to-all"] == c["all-reduce"] == 0, c
+
+
+def test_hlo_adi_spatial_collective_shape(rng):
+    """The Ulysses-style ADI step lowers to exactly THREE all_to_alls (state
+    H->W, coefficient H->W, state W->H) and nothing else — the solve axis
+    never crosses devices."""
+    from functools import partial
+
+    mesh = make_mesh(data=1, spatial=8)
+    u = jnp.asarray(rng.standard_normal((4, 48, 48)).astype(np.float32))
+    ab = jnp.asarray(rng.random((48, 48)).astype(np.float32) + 0.2)
+    c = _audit(partial(adi_strang_step_spatial, mesh, dt=0.01), u, ab, ab)
+    assert c["all-to-all"] == 3, c
+    assert c["all-gather"] == c["collective-permute"] == c["all-reduce"] == 0, c
+
+
+def test_hlo_adi_partitioned_collective_shape(rng):
+    """The substructured solve lowers to exactly TWO all_gathers whose
+    payload is the O(S·B·W) interface system — independent of the sharded
+    extent H (compiled at H=48 and H=96, the gathered shapes are identical;
+    a full-tensor gather would double) — and no all_to_all resharding."""
+    from functools import partial
+
+    from cnn_pde_tpu.parallel import adi_strang_step_partitioned
+    from cnn_pde_tpu.parallel.hlo_audit import (collective_counts,
+                                                compile_text,
+                                                gather_result_shapes)
+
+    mesh = make_mesh(data=1, spatial=8)
+    shapes_by_h = {}
+    for H in (48, 96):
+        u = jnp.asarray(rng.standard_normal((4, H, 48)).astype(np.float32))
+        a = jnp.asarray(rng.random((H, 48)).astype(np.float32) + 0.2)
+        txt = compile_text(partial(adi_strang_step_partitioned, mesh,
+                                   dt=0.01), u, a, a)
+        c = collective_counts(txt)
+        assert c["all-gather"] == 2, (H, c)
+        assert c["all-to-all"] == c["collective-permute"] == 0, (H, c)
+        shapes_by_h[H] = sorted(gather_result_shapes(txt))
+    assert shapes_by_h[48] == shapes_by_h[96], shapes_by_h
+
+
+def test_hlo_dp_step_collective_shape(key):
+    """The DP train step's only cross-device traffic is the gradient psum
+    family: all-reduces covering every gradient leaf (XLA's combiner may
+    merge them), no resharding collectives, and any all-gather is an
+    integer index gather (cross-entropy's scatter-add backward), never a
+    float tensor (that would mean params/activations crossing devices)."""
+    import optax
+
+    from cnn_pde_tpu.parallel.hlo_audit import (collective_counts,
+                                                gather_result_shapes)
+
+    model = MNISTClassifier()
+    params, state = model.init(key)
+    mesh = make_mesh(spatial=1)  # 8-way DP
+    opt = optax.adamw(1e-3)
+    step = make_dp_train_step(model, opt, mesh, label_smoothing=0.1)
+
+    images = jnp.zeros((16, 1, 28, 28), jnp.float32)
+    labels = jnp.zeros((16,), jnp.int32)
+    txt = step.lower(
+        replicate(mesh, params), replicate(mesh, state),
+        replicate(mesh, opt.init(params)),
+        *shard_batch(mesh, (images, labels)),
+        jax.random.PRNGKey(1)).compile().as_text()
+
+    c = collective_counts(txt)
+    n_leaves = len(jax.tree_util.tree_leaves(params))
+    assert 1 <= c["all-reduce"] <= n_leaves + 2, (c, n_leaves)
+    assert c["all-to-all"] == c["collective-permute"] == 0, c
+    float_gathers = [(t, d) for t, d in gather_result_shapes(txt)
+                     if t.startswith(("f", "bf"))]
+    assert not float_gathers, float_gathers
