@@ -22,7 +22,32 @@ from .nn.core import Ctx
 
 __all__ = ["make_predict_fn", "cache_hoisted_operators",
            "clear_operator_cache", "linearize_pde_layers",
-           "clear_linear_cache", "export_model", "load_exported"]
+           "clear_linear_cache", "select_linearize_grade",
+           "export_model", "load_exported"]
+
+# Measured serving frontier (PERF.md §linearized-int8,
+# §serving-batch-frontier, one-process chained A/Bs on v5e): int8 W8A8 wins
+# from batch ~256 up (its dynamic activation-quant pass amortizes; keeps
+# climbing to the bs-1024 champion while bf16 declines past 512); below
+# that bf16 matrices are at-or-better everywhere measured (bs-1 int8 is
+# -32% vs bf16), and for small-D presets (mnist/fashion D=784: matrices a
+# few MB) every grade is within noise, so the traffic-halving bf16 default
+# stands.  f32 is the exact-numerics grade — explicitly requested only.
+_INT8_MIN_BATCH = 256
+_SMALL_FEATURE_DIM = 2048
+
+
+def select_linearize_grade(batch_size, feature_dim=None):
+    """Storage dtype for ``linearize_pde_layers`` from the measured serving
+    frontier (table above): int8 for ``batch_size >= 256`` on large-D
+    models, bf16 otherwise.  ``feature_dim`` is the linearized D = C·H·W
+    (small-D models stay bf16 at every batch size — their matrices are too
+    small for quantization to pay).  Used by ``--linearize auto``."""
+    if feature_dim is not None and feature_dim < _SMALL_FEATURE_DIM:
+        return jnp.bfloat16
+    if batch_size >= _INT8_MIN_BATCH:
+        return jnp.int8
+    return jnp.bfloat16
 
 
 def _pinned_caches(model):
@@ -169,7 +194,7 @@ def cache_hoisted_operators(model, params, state, sample_images):
 
 
 def linearize_pde_layers(model, params, state, sample_images, max_dim=4096,
-                         precision=None, dtype=None):
+                         precision=None, dtype=None, serve_batch_size=None):
     """Frozen-params serving: collapse each linear PDE layer's ENTIRE
     multi-step evolution into one composed (D, D) matrix, D = C·H·W.
 
@@ -195,12 +220,26 @@ def linearize_pde_layers(model, params, state, sample_images, max_dim=4096,
     accumulation (quarter the f32 matrix traffic, 2x the bf16 MXU rate;
     ~0.5% relative output error — pde/linearize.py::QuantizedMatrix).
 
+    ``dtype='auto'`` picks the grade from the measured batch frontier via
+    ``select_linearize_grade(serve_batch_size, D)`` — pass
+    ``serve_batch_size`` (the batch the server will actually run, e.g. the
+    largest shape bucket); it defaults to the sample batch size.  D is
+    taken from the sample (C·H·W).
+
     Composes with ``cache_hoisted_operators``: if operator caches are
     pinned, the composed matrix bakes in their (possibly bf16) numerics.
     Training with a pinned ``linear_cache`` raises —
     ``clear_linear_cache`` undoes it.  Returns the number of layers
     linearized."""
     from .pde.linearize import capture_linearized
+
+    if isinstance(dtype, str) and dtype == "auto":
+        import numpy as np
+
+        dtype = select_linearize_grade(
+            serve_batch_size if serve_batch_size is not None
+            else int(sample_images.shape[0]),
+            feature_dim=int(np.prod(sample_images.shape[1:])))
 
     with capture_linearized(max_dim=max_dim) as cap:
         @jax.jit

@@ -53,21 +53,29 @@ def main():
                     help="smoke/export batch size when no --input is given")
     ap.add_argument("--amp", action="store_true",
                     help="bf16 solves + frozen-params operator caching")
-    ap.add_argument("--linearize", action="store_true",
+    ap.add_argument("--linearize", nargs="?", const="f32", default=None,
+                    choices=["f32", "bf16", "int8", "auto"],
                     help="collapse each linear PDE layer's whole evolution "
                          "into one composed matmul (frozen-params serving; "
-                         "serve.linearize_pde_layers)")
+                         "serve.linearize_pde_layers), storing the matrices "
+                         "at the given grade.  Measured decision table "
+                         "(PERF.md §linearized-int8, "
+                         "§serving-batch-frontier): 'auto' picks int8 for "
+                         "serving batches >= 256 on large-D models (int8 "
+                         "keeps climbing to the bs-1024 champion, 4.4M "
+                         "img/s) and bf16 below that or for small-D "
+                         "presets (mnist/fashion: all grades within "
+                         "noise); 'bf16' halves matrix traffic at "
+                         "AMP-grade numerics (best 64-255); 'int8' = W8A8 "
+                         "quantization (quarter traffic, ~0.5%% relative "
+                         "logit error, eval accuracy unchanged; -32%% at "
+                         "bs 1); 'f32' (the bare-flag default) = exact "
+                         "grade.  With --http --buckets, 'auto' grades "
+                         "for the LARGEST bucket")
     ap.add_argument("--linearize-bf16", action="store_true",
-                    help="with --linearize: store the composed matrices in "
-                         "bf16 (f32 accumulation) — the measured serving "
-                         "champion (PERF.md §serving-args); AMP-grade "
-                         "numerics")
+                    help="deprecated alias for --linearize bf16")
     ap.add_argument("--linearize-int8", action="store_true",
-                    help="with --linearize: W8A8-quantize the composed "
-                         "matrices (int8 weights + dynamic per-row "
-                         "activation scales, int32 MXU accumulation; "
-                         "quarter the matrix HBM traffic, ~0.5% relative "
-                         "output error)")
+                    help="deprecated alias for --linearize int8")
     ap.add_argument("--dp", action="store_true",
                     help="shard the batch over all visible devices")
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
@@ -146,13 +154,24 @@ def main():
         n_cached = cache_hoisted_operators(model, params, state, images)
     else:
         n_cached = 0
-    lin_dtype = (jnp.int8 if args.linearize_int8
-                 else jnp.bfloat16 if args.linearize_bf16 else None)
-    if args.linearize:
+    buckets = (tuple(int(b) for b in args.buckets.split(","))
+               if args.buckets else None)
+
+    grade = args.linearize
+    if args.linearize_int8:  # deprecated aliases (imply --linearize)
+        grade = "int8"
+    elif args.linearize_bf16:
+        grade = "bf16"
+    lin_dtype = {"f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8,
+                 "auto": "auto", None: None}[grade]
+    if grade is not None:
         from .serve import linearize_pde_layers
 
+        # 'auto' grades for the largest batch the server will actually run
+        serve_bs = max(buckets) if buckets else int(images.shape[0])
         n_linearized = linearize_pde_layers(
-            model, params, state, images, dtype=lin_dtype)
+            model, params, state, images, dtype=lin_dtype,
+            serve_batch_size=serve_bs)
     else:
         n_linearized = 0
 
@@ -171,8 +190,6 @@ def main():
     if args.http is not None:
         from .serve_http import serve_http
 
-        buckets = (tuple(int(b) for b in args.buckets.split(","))
-                   if args.buckets else None)
         if buckets and mesh is not None:
             data = int(mesh.shape["data"])
             bad = [b for b in buckets if b % data]
@@ -218,10 +235,13 @@ def main():
             clear_linear_cache(model)
             if args.amp:
                 cache_hoisted_operators(model, p, s, images)
-            if args.linearize:
+            if grade is not None:
                 from .serve import linearize_pde_layers
 
-                linearize_pde_layers(model, p, s, images, dtype=lin_dtype)
+                linearize_pde_layers(
+                    model, p, s, images, dtype=lin_dtype,
+                    serve_batch_size=(max(buckets) if buckets
+                                      else int(images.shape[0])))
             return build_fns(p, s)
 
         watch_paths = []
@@ -253,6 +273,7 @@ def main():
         "output": args.output,
         "amp_cached_layers": n_cached,
         "linearized_layers": n_linearized,
+        "linearize_grade": grade,
         "devices": int(mesh.devices.size) if mesh is not None else 1,
     }
     if args.export:

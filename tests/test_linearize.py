@@ -299,3 +299,56 @@ def test_linearize_emotion_classifier(rng, key):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
     clear_linear_cache(model)
+
+
+def test_select_linearize_grade_table():
+    """The --linearize auto decision table pins the measured serving
+    frontier (PERF.md §linearized-int8, §serving-batch-frontier): int8 from
+    batch 256 up on large-D models, bf16 below and for small-D presets."""
+    from cnn_pde_tpu.serve import select_linearize_grade as grade
+
+    assert grade(1024, feature_dim=3072) == jnp.int8
+    assert grade(256, feature_dim=3072) == jnp.int8
+    assert grade(255, feature_dim=3072) == jnp.bfloat16
+    assert grade(64, feature_dim=3072) == jnp.bfloat16
+    assert grade(1, feature_dim=3072) == jnp.bfloat16
+    # small-D presets (mnist/fashion D=784): bf16 at every batch size
+    assert grade(1024, feature_dim=784) == jnp.bfloat16
+    assert grade(1, feature_dim=784) == jnp.bfloat16
+    # no feature_dim: pure batch-size frontier
+    assert grade(512) == jnp.int8
+    assert grade(8) == jnp.bfloat16
+
+
+def test_linearize_auto_grade(rng, key):
+    """dtype='auto' resolves through select_linearize_grade from the
+    serving batch size + the sample's D and pins the same cache the
+    explicit grade would (small-D layer: bf16 even at champion batch;
+    large-D layer at batch >= 256: int8 QuantizedMatrix)."""
+    from cnn_pde_tpu.pde.linearize import QuantizedMatrix
+
+    layer = MixedChannelDiffusion(size=8, num_steps=2)  # D = 192: small-D
+    params, state = layer.init(key)
+    x = jnp.asarray(rng.standard_normal((2, 3, 8, 8)).astype(np.float32))
+    assert linearize_pde_layers(layer, params, state, x, dtype="auto",
+                                serve_batch_size=1024) == 1
+    assert layer.linear_cache.dtype == jnp.bfloat16
+    clear_linear_cache(layer)
+
+    big = MixedChannelDiffusion(size=32, num_steps=1)   # D = 3072
+    bparams, bstate = big.init(key)
+    bx = jnp.asarray(rng.standard_normal((2, 3, 32, 32)).astype(np.float32))
+    ref, _ = big.apply(bparams, bstate, bx, Ctx(train=False))
+    assert linearize_pde_layers(big, bparams, bstate, bx, dtype="auto",
+                                serve_batch_size=512) == 1
+    assert isinstance(big.linear_cache, QuantizedMatrix)
+    out, _ = big.apply(bparams, bstate, bx, Ctx(train=False))
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    assert err.max() <= 2e-2 * np.abs(np.asarray(ref)).max()
+    clear_linear_cache(big)
+
+    # serve_batch_size omitted: falls back to the sample batch (2 -> bf16)
+    assert linearize_pde_layers(big, bparams, bstate, bx,
+                                dtype="auto") == 1
+    assert big.linear_cache.dtype == jnp.bfloat16
+    clear_linear_cache(big)

@@ -41,7 +41,9 @@ def main():
     ap.add_argument("--variants", nargs="+", default=None,
                     help="explicit variant list (overrides --amp): any of "
                          "xla fused amp amp_cached linearized amp_linearized "
-                         "linearized_bf16 linearized_int8")
+                         "linearized_bf16 linearized_int8 linearized_auto "
+                         "(auto re-grades per batch size via "
+                         "serve.select_linearize_grade)")
     ap.add_argument("--preset", default="cifar10_noconv",
                     help="serve any preset's model (default: the flagship)")
     args = ap.parse_args()
@@ -93,12 +95,22 @@ def main():
             # 'linearized_int8' W8A8-quantizes them (int32 MXU accumulation).
             from cnn_pde_tpu.serve import linearize_pde_layers
 
-            n_lin = linearize_pde_layers(
-                model, params, state, sample,
-                dtype=(jnp.bfloat16 if tag.endswith("bf16")
-                       else jnp.int8 if tag.endswith("int8") else None))
-            print(f"{tag}: linearized {n_lin} PDE layers", flush=True)
+            if not tag.endswith("auto"):  # auto re-grades per batch size
+                n_lin = linearize_pde_layers(
+                    model, params, state, sample,
+                    dtype=(jnp.bfloat16 if tag.endswith("bf16")
+                           else jnp.int8 if tag.endswith("int8") else None))
+                print(f"{tag}: linearized {n_lin} PDE layers", flush=True)
         for bs in args.batch_sizes:
+            if tag == "linearized_auto":
+                # the --linearize auto path: grade per serving batch size
+                # from the measured frontier (serve.select_linearize_grade)
+                from cnn_pde_tpu.serve import (clear_linear_cache,
+                                               linearize_pde_layers)
+
+                clear_linear_cache(model)
+                linearize_pde_layers(model, params, state, sample,
+                                     dtype="auto", serve_batch_size=bs)
             g = np.random.default_rng(0)
             images = jnp.asarray(
                 g.random((bs, channels, size, size)).astype(np.float32))
