@@ -36,19 +36,18 @@ def key():
 
 
 # ---------------------------------------------------------------------------
-# quick tier: `pytest -m quick` — a ~3-minute core subset for the inner loop:
-# one sharding-equivalence test per sharded kernel family, golden parity per
-# PDE layer family, and one solver/stencil correctness test each.  The full
-# suite (~30 min) remains CI's job.
+# quick tier: `pytest -m quick` — the inner-loop subset: cheap sharding
+# equivalence per kernel family, golden parity per PDE layer family, one
+# solver/stencil correctness test each.  Measured 2026-08-20: ~1:50 under a
+# loaded machine (VERDICT r3 #5 re-budget; the previous tier measured 6:46
+# because five multi-device-compile tests cost 441 of its 547 s — those now
+# form the `core` mid-tier below).  `pytest -m "quick or core"` ≈ 9 min
+# loaded; the full suite (~30 min) remains CI's job.
 QUICK_TESTS = {
-    # sharded kernels (one equivalence test each)
+    # sharded kernels (the cheap equivalence test per family)
     "test_parallel.py::test_ftcs_spatial_matches_unsharded",
-    "test_parallel.py::test_adi_spatial_matches_unsharded[True]",
     "test_parallel.py::test_tridiag_partitioned_matches_unsharded",
-    "test_parallel.py::test_adi_partitioned_matches_unsharded[True]",
     "test_parallel.py::test_laplacian_spatial_matches_unsharded",
-    "test_parallel.py::test_dp_train_step_matches_single_device",
-    "test_tensor_parallel.py::test_tp_step_matches_single_device",
     # golden parity per PDE layer family (float64 oracle)
     "test_pde_layers.py::test_grayscale_mnist_parity",
     "test_pde_layers.py::test_grayscale_fashion_parity",
@@ -58,8 +57,9 @@ QUICK_TESTS = {
     "test_pde_layers.py::test_fourier_ftcs_full_evolution_parity",
     "test_pde_layers.py::test_residual_diffusion[False]",
     "test_pde_layers.py::test_parabolic_and_hamiltonian_blocks",
-    # linearized serving (the linearity invariant + the flagship round trip)
-    "test_linearize.py::test_linearize_flagship_model",
+    # linearized serving (a single layer's compose-and-agree round trip;
+    # the flagship 3-branch version is `core`)
+    "test_linearize.py::test_linearize_single_layer_matches_sequential[mixed_strang]",
     # numerics core
     "test_tridiag.py::test_eps_semantics_matches_reference_recurrence",
     "test_tridiag.py::test_pcr_matches_scan[28]",
@@ -75,10 +75,25 @@ QUICK_TESTS = {
     "test_train.py::test_graceful_preemption_signal_latch",
 }
 
+# core mid-tier: the expensive multi-device/full-model compiles that blew
+# the quick budget (VERDICT r3 #5) — heavier equivalence per parallel
+# family + the flagship linearize round trip.  Run with
+# `pytest -m "quick or core"` before anything touching the parallel layer.
+CORE_TESTS = {
+    "test_parallel.py::test_adi_spatial_matches_unsharded[True]",
+    "test_parallel.py::test_adi_partitioned_matches_unsharded[True]",
+    "test_parallel.py::test_dp_train_step_matches_single_device",
+    "test_tensor_parallel.py::test_tp_step_matches_single_device",
+    "test_linearize.py::test_linearize_flagship_model",
+}
+
 
 def pytest_configure(config):
     config.addinivalue_line(
-        "markers", "quick: fast core subset (~3 min) for the inner loop")
+        "markers", "quick: inner-loop subset (~2 min measured 2026-08-20)")
+    config.addinivalue_line(
+        "markers", "core: heavy multi-device/full-model compiles "
+                   "(`-m \"quick or core\"` ≈ 9 min)")
 
 
 def pytest_collection_modifyitems(config, items):
@@ -86,3 +101,5 @@ def pytest_collection_modifyitems(config, items):
         rel = f"{os.path.basename(str(item.fspath))}::{item.name}"
         if rel in QUICK_TESTS:
             item.add_marker(pytest.mark.quick)
+        elif rel in CORE_TESTS:
+            item.add_marker(pytest.mark.core)
