@@ -23,7 +23,7 @@ import numpy as np
 AMP = False  # --amp: hoisted-bf16 layers + bf16 dense ops + matinv_bf16
 
 
-def bench_preset(name, n_steps, samples=3):
+def bench_preset(name, n_steps, samples=3, batch=None):
     from cnn_pde_tpu.data import SYNTHETIC_SPECS, build_augment_fn
     from cnn_pde_tpu.models import MODEL_REGISTRY
     from cnn_pde_tpu.train import Trainer
@@ -31,7 +31,7 @@ def bench_preset(name, n_steps, samples=3):
 
     preset = get_preset(name)
     channels, size, classes = SYNTHETIC_SPECS[preset.dataset]
-    bs = preset.batch_size
+    bs = batch or preset.batch_size
     model = MODEL_REGISTRY[preset.model](**preset.model_kwargs)
     if AMP:
         from cnn_pde_tpu.pde import enable_amp
@@ -77,6 +77,9 @@ def main():
     ap.add_argument("--presets", nargs="*", default=None)
     ap.add_argument("--amp", action="store_true",
                     help="pde.enable_amp: bf16 solves + bf16 convs/Ruthotto")
+    ap.add_argument("--batch-sizes", type=int, nargs="*", default=None,
+                    help="override the preset batch size; one row per value "
+                         "(batch-frontier mode, e.g. --batch-sizes 32 64 128)")
     args = ap.parse_args()
     if args.amp:
         global AMP
@@ -90,10 +93,11 @@ def main():
         n = args.steps
         if name == "tiny_imagenet":
             n = min(n, 30)  # heavier model
-        r = bench_preset(name, n)
-        results[name] = r
-        print(f"{name}: {r['ms_per_step']} ms/step (bs {r['batch_size']}) "
-              f"-> {r['images_per_sec']} img/s")
+        for bs in (args.batch_sizes or [None]):
+            r = bench_preset(name, n, batch=bs)
+            results[f"{name}@{r['batch_size']}" if args.batch_sizes else name] = r
+            print(f"{name}: {r['ms_per_step']} ms/step (bs {r['batch_size']}) "
+                  f"-> {r['images_per_sec']} img/s")
     print(json.dumps(results))
     from perf_record import record
 
