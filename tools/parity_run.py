@@ -544,8 +544,15 @@ def main():
                     r = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if "family" in r and "ref_accs" in r:
-                    ref_cache[(r["family"], r.get("bn_refresh", 0))] = r
+                # accept raw row lines (our stdout/logs) AND perf_record
+                # envelopes (perf/parity.jsonl: {ts,...,results:{key:row}})
+                cands = (list(r["results"].values())
+                         if isinstance(r.get("results"), dict) else [r])
+                for c in cands:
+                    if isinstance(c, dict) and "family" in c \
+                            and "ref_accs" in c:
+                        ref_cache[(c["family"],
+                                   c.get("bn_refresh") or 0)] = c
 
     rows, rows_bn = [], []
     for name in args.families:

@@ -14,7 +14,7 @@ if [ -n "$WAIT_PID" ]; then
   echo "waiting for in-flight parity run (pid $WAIT_PID) $(date -u +%FT%TZ)"
   while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 20; done
 fi
-for fam in mnist svhn emotion fashion_mnist cifar10_noconv cifar10_hybrid; do
+for fam in ${FAMS:-svhn emotion fashion_mnist cifar10_noconv cifar10_hybrid}; do
   echo "=== $fam start $(date -u +%FT%TZ) ==="
   timeout 1200 python tools/parity_run.py --match-init --bn-refresh 66 \
     --seeds 8 --families "$fam" --ref-accs-from perf/parity.jsonl \
