@@ -18,6 +18,16 @@ Every device-touching measurement runs under a bounded retry
 self-describing error JSON (rc 1), and a secondary-measurement failure
 nulls its field while the primary line stays green.
 
+Artifact contract (VERDICT r4 #1 — BENCH_r04 was rc=124 with NOTHING
+printed): (a) the primary line is printed + flushed the moment the primary
+measurement completes, marked `"partial": true`; the enriched final line
+(`"partial": false`) supersedes it — a mid-run kill can no longer lose the
+round's number.  (b) `--deadline` (default 720 s from process start) skips
+remaining secondary measurements once exceeded (`deadline_skipped` lists
+them).  (c) every green run is appended to `perf/bench.jsonl` with
+ts/git/argv provenance (tools/perf_record.py envelope).  The contract is
+pinned by tests/test_bench_contract.py.
+
 Baseline provenance: the reference cifar10.py CIFAR10PDENoConv training step
 (torch CPU, batch 64, AdamW + clip, label smoothing 0.1) measured on this
 machine's CPU at 11.99 images/sec (5.34 s/step; a 50k-image epoch = 69.5 min)
@@ -29,10 +39,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 BASELINE_IMG_PER_SEC = 11.99  # reference torch-CPU, measured (see docstring)
+
+_START = time.monotonic()  # process start; --deadline counts from here
 
 # TPU v5e (v5 lite) single-chip peaks, for utilization accounting
 # (PERF.md §roofline): the flagship step is HBM/latency-bound, so the
@@ -286,6 +299,28 @@ def measure_serving_int8(batch_size, n):
     return {"img_per_sec": batch_size / dt}
 
 
+def _emit(record):
+    """Print one JSON line and FLUSH — the driver may kill this process at
+    any moment and keeps only what already reached stdout (BENCH_r04 was
+    empty because everything printed at the very end)."""
+    print(json.dumps(record))
+    sys.stdout.flush()
+
+
+def _bank(record, bank_dir=None):
+    """Append a green run to perf/bench.jsonl with ts/git/argv provenance
+    (same envelope as the other harnesses — tools/perf_record.py), so bench
+    numbers exist in an auditable record, not just the driver's capture."""
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import perf_record
+
+        perf_record.record("bench", record, perf_dir=bank_dir)
+    except Exception as e:  # noqa: BLE001 — banking must never kill the run
+        print(f"bench: perf/bench.jsonl banking failed: {e}", file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-size", type=int, default=64)
@@ -294,13 +329,27 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force the jax platform (e.g. 'cpu' for a smoke "
                     "run off-TPU); default: the environment's device")
-    ap.add_argument("--probe-timeout", type=float, default=900.0,
+    ap.add_argument("--probe-timeout", type=float, default=300.0,
                     help="seconds to wait for the device platform before "
                     "emitting an error JSON instead of hanging (the axon "
                     "tunnel can stall indefinitely under pool congestion)")
+    ap.add_argument("--deadline", type=float, default=720.0,
+                    help="global wall-clock budget (s, from process start): "
+                    "once exceeded, remaining SECONDARY measurements are "
+                    "skipped and whatever is measured is emitted — the "
+                    "driver's window must never expire on an all-or-nothing "
+                    "tail (BENCH_r04 was rc=124 with nothing printed)")
     ap.add_argument("--no-champions", action="store_true",
                     help="skip the secondary bs-512 train and int8-serving "
                     "measurements (primary bs-64 row only)")
+    ap.add_argument("--bank-dir", default=None,
+                    help="directory for the bench.jsonl provenance record "
+                    "(default: repo perf/); tests point this at a tmpdir")
+    ap.add_argument("--no-bank", action="store_true",
+                    help="skip the perf/bench.jsonl append")
+    ap.add_argument("--hang-after-primary", action="store_true",
+                    help=argparse.SUPPRESS)  # test hook: sleep forever after
+    # the primary line is flushed, simulating a mid-run stall/kill
     amp_group = ap.add_mutually_exclusive_group()
     amp_group.add_argument(
         "--amp", dest="amp", action="store_true", default=True,
@@ -364,43 +413,86 @@ def main():
     mfu = flops / dt / V5E_PEAK_BF16_FLOPS if flops else None
     hbm_gbps = hbm_bytes / dt / 1e9 if hbm_bytes else None
 
+    # Flush a self-describing PRIMARY line the moment it exists (VERDICT r4
+    # #1): if anything later stalls past the driver's window, this line is
+    # already in the capture.  The enriched final line supersedes it —
+    # consumers keep the LAST line whose "partial" is false, else the last
+    # line at all.
+    _emit({
+        "metric": METRIC, "value": round(img_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 2),
+        "epoch_s": round(50_000 / img_per_sec, 2),
+        "mfu": round(mfu, 5) if mfu is not None else None,
+        "hbm_gbps": round(hbm_gbps, 1) if hbm_gbps is not None else None,
+        "hbm_util": (round(min(hbm_gbps / V5E_PEAK_HBM_GBPS, 1.0), 3)
+                     if hbm_gbps is not None else None),
+        "amp": bool(args.amp), "partial": True,
+    })
+    if args.hang_after_primary:  # test hook: simulate a mid-run stall
+        time.sleep(3600)
+
+    def over_deadline(label):
+        left = args.deadline - (time.monotonic() - _START)
+        if left <= 0:
+            print(f"bench: deadline exceeded; skipping {label}",
+                  file=sys.stderr)
+            return True
+        return False
+
+    skipped = []
+
     # Roofline context (VERDICT r3 #3): the directly-measured sweep core —
     # the step's irreducible sequential inner op — against the HBM peak.
     sweep_core_gbps = None
-    try:
-        sweep_core_gbps = _retry(
-            "sweep core",
-            lambda: measure_sweep_core(50 if args.quick else 2000))["gbps"]
-    except Exception as e:  # noqa: BLE001 — context field only
-        print(f"bench: sweep-core measurement failed: {e}", file=sys.stderr)
+    if over_deadline("sweep core"):
+        skipped.append("sweep_core")
+    else:
+        try:
+            sweep_core_gbps = _retry(
+                "sweep core",
+                lambda: measure_sweep_core(50 if args.quick else 2000))["gbps"]
+        except Exception as e:  # noqa: BLE001 — context field only
+            print(f"bench: sweep-core measurement failed: {e}",
+                  file=sys.stderr)
 
     # SECONDARY champion configs (PERF.md): failures null the field but the
     # primary record stays green.
     errors = {}
     value_bs256 = value_bs512 = serving_img_per_sec = None
     if not args.no_champions:
-        try:
-            # bs 256 is the measured TRAINING throughput peak (PERF.md
-            # §train-batch-frontier: 84k > 79k @512 > 71k @1024 in one
-            # window); bs 512 kept for cross-round comparability
-            n_256 = args.iters if args.quick else max(400, args.iters)
-            value_bs256 = _retry("train bs256", lambda: measure_train(
-                256, args.iters, n_256, args.amp,
-                want_cost=False))["img_per_sec"]
-        except Exception as e:  # noqa: BLE001
-            errors["bs256"] = f"{type(e).__name__}: {str(e)[:200]}"
-        try:
-            value_bs512 = _retry("train bs512", lambda: measure_train(
-                512, args.iters, n_512, args.amp,
-                want_cost=False))["img_per_sec"]
-        except Exception as e:  # noqa: BLE001
-            errors["bs512"] = f"{type(e).__name__}: {str(e)[:200]}"
-        try:
-            serving_img_per_sec = _retry(
-                "serving int8 bs1024",
-                lambda: measure_serving_int8(1024, n_serve))["img_per_sec"]
-        except Exception as e:  # noqa: BLE001
-            errors["serving"] = f"{type(e).__name__}: {str(e)[:200]}"
+        if over_deadline("train bs256"):
+            skipped.append("bs256")
+        else:
+            try:
+                # bs 256 is the measured TRAINING throughput peak (PERF.md
+                # §train-batch-frontier: 84k > 79k @512 > 71k @1024 in one
+                # window); bs 512 kept for cross-round comparability
+                n_256 = args.iters if args.quick else max(400, args.iters)
+                value_bs256 = _retry("train bs256", lambda: measure_train(
+                    256, args.iters, n_256, args.amp,
+                    want_cost=False))["img_per_sec"]
+            except Exception as e:  # noqa: BLE001
+                errors["bs256"] = f"{type(e).__name__}: {str(e)[:200]}"
+        if over_deadline("train bs512"):
+            skipped.append("bs512")
+        else:
+            try:
+                value_bs512 = _retry("train bs512", lambda: measure_train(
+                    512, args.iters, n_512, args.amp,
+                    want_cost=False))["img_per_sec"]
+            except Exception as e:  # noqa: BLE001
+                errors["bs512"] = f"{type(e).__name__}: {str(e)[:200]}"
+        if over_deadline("serving int8"):
+            skipped.append("serving")
+        else:
+            try:
+                serving_img_per_sec = _retry(
+                    "serving int8 bs1024",
+                    lambda: measure_serving_int8(
+                        1024, n_serve))["img_per_sec"]
+            except Exception as e:  # noqa: BLE001
+                errors["serving"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     record = {
         "metric": METRIC,
@@ -447,10 +539,15 @@ def main():
             round(serving_img_per_sec * 3 * 3072**2 * 2 / V5E_PEAK_INT8_OPS,
                   3) if serving_img_per_sec is not None else None),
         "amp": bool(args.amp),
+        "partial": False,
     }
     if errors:
         record["secondary_errors"] = errors
-    print(json.dumps(record))
+    if skipped:
+        record["deadline_skipped"] = skipped
+    _emit(record)
+    if not args.no_bank:
+        _bank(record, bank_dir=args.bank_dir)
 
 
 if __name__ == "__main__":
