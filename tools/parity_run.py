@@ -164,22 +164,111 @@ FAMILIES = {
 
 
 # --------------------------------------------------------------------------
+# per-seed incremental bank (VERDICT r4 #2 / ADVICE r4): a family timeout
+# must never again discard finished seeds.  Every completed seed appends one
+# line to the bank the moment it finishes; a rerun with the same fixture
+# skips banked seeds, so `timeout N tools/run_parity_tpu.sh` converges over
+# repeated invocations instead of losing 20 minutes of work to rc=124.
+
+def _git_short():
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=10).stdout.strip() or None
+    except Exception:
+        return None
+
+
+def _seed_key(rec):
+    return (rec["side"], rec["family"], int(rec["seed"]), int(rec["epochs"]),
+            int(rec["batch"]), int(rec["train_n"]), int(rec["test_n"]),
+            bool(rec.get("match_init")), int(rec.get("bn_refresh") or 0),
+            rec.get("platform"))
+
+
+def _seed_bank_load(path):
+    bank = {}
+    if path and os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    rec = json.loads(line)
+                    bank[_seed_key(rec)] = rec
+                except (json.JSONDecodeError, KeyError, ValueError):
+                    continue
+    return bank
+
+
+def _seed_bank_append(path, rec):
+    if not path:
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+        f.flush()
+
+
+def _bank_seed(bank, meta, side, seed, acc, acc_bn, wall_s):
+    """Append one finished seed to the bank file and the in-memory map."""
+    import datetime
+    rec = dict(meta, side=side, seed=int(seed), acc=round(float(acc), 4),
+               acc_bn=(round(float(acc_bn), 4) if acc_bn is not None
+                       else None),
+               wall_s=round(float(wall_s), 1),
+               ts=datetime.datetime.now(datetime.timezone.utc).isoformat(
+                   timespec="seconds"),
+               git=_git_short())
+    bank["rows"][_seed_key(rec)] = rec
+    _seed_bank_append(bank["path"], rec)
+
+
+def _banked_seed(bank, meta, side, seed, need_bn):
+    """A banked record for this exact (side, seed, fixture), or None.  A
+    record banked without the bn eval cannot serve a dual-eval run."""
+    rec = bank["rows"].get(_seed_key(dict(meta, side=side, seed=seed)))
+    if rec is not None and need_bn and rec.get("acc_bn") is None:
+        return None
+    return rec
+
+
+# --------------------------------------------------------------------------
 # reference-side generic trainer
 
-def train_reference(fam, xs, ys, xt, yt, epochs, bs, seeds, bn_refresh=0):
+def train_reference(fam, xs, ys, xt, yt, epochs, bs, seeds, bn_refresh=0,
+                    bank=None):
     """Returns (plain_accs, bn_accs_or_None, wall_s): each seed trains ONCE
     and is evaluated under reference semantics and (if bn_refresh) again
-    after the precise-BN refresh — dual evaluation, single training cost."""
+    after the precise-BN refresh — dual evaluation, single training cost.
+    With ``bank``, finished seeds append incrementally and banked seeds are
+    skipped (wall time then includes the banked seeds' recorded walls)."""
     ref = load_ref(fam["ref_file"])
-    accs, accs_bn = [], []
-    t0 = time.time()
+    meta = dict(bank["meta"], platform="torch-cpu",
+                match_init=True) if bank else None
+    accs, accs_bn, wall = [], [], 0.0
     for seed in range(seeds):
-        a, a_bn = _train_reference_one(fam, ref, xs, ys, xt, yt, epochs,
-                                       bs, seed, bn_refresh=bn_refresh)
+        rec = _banked_seed(bank, meta, "ref", seed,
+                           bool(bn_refresh)) if bank else None
+        if rec is not None:
+            a, a_bn = rec["acc"], rec.get("acc_bn")
+            wall += rec.get("wall_s", 0.0)
+            print(f"  ref seed {seed}: banked ({a})", flush=True)
+        else:
+            t0 = time.time()
+            a, a_bn = _train_reference_one(fam, ref, xs, ys, xt, yt, epochs,
+                                           bs, seed, bn_refresh=bn_refresh)
+            dt = time.time() - t0
+            wall += dt
+            if bank:
+                _bank_seed(bank, meta, "ref", seed, a, a_bn, dt)
         accs.append(a)
         if a_bn is not None:
             accs_bn.append(a_bn)
-    return accs, (accs_bn if bn_refresh else None), time.time() - t0
+    return accs, (accs_bn if bn_refresh else None), wall
 
 
 def _torch_precise_bn(model, xs, bs, batches):
@@ -304,7 +393,7 @@ def _torch_seed_init(fam, seed):
 
 
 def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds, match_init=False,
-               bn_refresh=0):
+               bn_refresh=0, bank=None):
     import jax
 
     from cnn_pde_tpu.data import ArrayDataset
@@ -329,9 +418,22 @@ def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds, match_init=False,
         epochs=epochs, batch_size=bs, log_every=10**9,
         clip_norm=fam["clip"], device_epoch=True)
     trainer = Trainer(model, config, schedule)  # no augmentation: see module
+    meta = dict(bank["meta"], platform=jax.default_backend(),
+                match_init=bool(match_init)) if bank else None
     t0 = time.time()
+    wall = 0.0
     accs, accs_bn = [], []
     for seed in range(seeds):  # one Trainer: the jit'd epoch is reused
+        rec = _banked_seed(bank, meta, "ours", seed,
+                           bool(bn_refresh)) if bank else None
+        if rec is not None:
+            accs.append(rec["acc"])
+            if bn_refresh:
+                accs_bn.append(rec["acc_bn"])
+            wall += rec.get("wall_s", 0.0)
+            print(f"  ours seed {seed}: banked ({rec['acc']})", flush=True)
+            continue
+        ts = time.time()
         # vary the FULL stream per seed — init AND batch order AND dropout
         # rng (cfg.seed drives the shuffle/rng streams); otherwise all seeds
         # share one chaotic trajectory and the spread is meaningless.
@@ -354,7 +456,16 @@ def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds, match_init=False,
             trainer.refresh_bn_stats(state, ds, batches=bn_refresh,
                                      batch_size=bs)
             accs_bn.append(float(trainer.evaluate(state, ds)["acc"]))
-    return accs, (accs_bn if bn_refresh else None), time.time() - t0
+        dt = time.time() - ts
+        wall += dt
+        if bank:
+            _bank_seed(bank, meta, "ours", seed, accs[-1],
+                       accs_bn[-1] if bn_refresh else None, dt)
+    # per-seed walls sum to the family wall (banked seeds contribute their
+    # recorded walls); the unbanked path keeps the original whole-loop wall
+    if not bank:
+        wall = time.time() - t0
+    return accs, (accs_bn if bn_refresh else None), wall
 
 
 # --------------------------------------------------------------------------
@@ -519,7 +630,20 @@ def main():
                     "test_n) and covers >= --seeds seeds, reuse its ref_accs "
                     "instead of re-training the torch side (hours of CPU). "
                     "Valid for --match-init too: the reference side of seed "
-                    "s always trains from the torch.manual_seed(s) init.")
+                    "s always trains from the torch.manual_seed(s) init. "
+                    "Envelope rows whose own argv used --ref-accs-from are "
+                    "skipped (ADVICE r4: only torch-trained rows are "
+                    "provenance), and under --match-init only match_init "
+                    "rows qualify.")
+    ap.add_argument("--seed-bank", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "perf", "parity_seeds.jsonl"),
+        help="per-seed incremental bank (VERDICT r4 #2): every finished "
+        "seed appends one line the moment it completes, and reruns with "
+        "the same fixture skip banked seeds — a family timeout preserves "
+        "partial evidence instead of discarding all seeds")
+    ap.add_argument("--no-seed-bank", action="store_true",
+                    help="disable the per-seed bank (fresh seeds, no reuse)")
     args = ap.parse_args()
 
     if args.platform:
@@ -545,14 +669,24 @@ def main():
                 except json.JSONDecodeError:
                     continue
                 # accept raw row lines (our stdout/logs) AND perf_record
-                # envelopes (perf/parity.jsonl: {ts,...,results:{key:row}})
-                cands = (list(r["results"].values())
-                         if isinstance(r.get("results"), dict) else [r])
+                # envelopes (perf/parity.jsonl: {ts,...,results:{key:row}}).
+                # Envelope rows produced by a run that ITSELF reused cached
+                # ref accs (--ref-accs-from in its argv) are derivative, not
+                # provenance — skip them so a TPU re-run can never shadow
+                # the original torch-trained row (ADVICE r4).
+                if isinstance(r.get("results"), dict):
+                    if any("--ref-accs-from" in str(a)
+                           for a in (r.get("argv") or [])):
+                        continue
+                    cands = list(r["results"].values())
+                else:
+                    cands = [r]
                 for c in cands:
                     if isinstance(c, dict) and "family" in c \
                             and "ref_accs" in c:
-                        ref_cache[(c["family"],
-                                   c.get("bn_refresh") or 0)] = c
+                        ref_cache.setdefault(
+                            (c["family"], c.get("bn_refresh") or 0),
+                            []).append(c)
 
     rows, rows_bn = [], []
     for name in args.families:
@@ -567,9 +701,17 @@ def main():
                                         test_per_class=spc)
         n = xs.shape[0]
         bs = min(fam["batch"], max(n // 4, 8))
+        bank = None
+        if not args.no_seed_bank:
+            bank = {"path": args.seed_bank,
+                    "rows": _seed_bank_load(args.seed_bank),
+                    "meta": {"family": name, "epochs": epochs, "batch": bs,
+                             "train_n": n, "test_n": int(xt.shape[0]),
+                             "bn_refresh": int(args.bn_refresh)}}
         ours_accs, ours_bn, ours_t = train_ours(
             fam, xs, ys, xt, yt, epochs, bs, args.seeds,
-            match_init=args.match_init, bn_refresh=args.bn_refresh)
+            match_init=args.match_init, bn_refresh=args.bn_refresh,
+            bank=bank)
         if args.ours_only:
             out = {"family": name,
                    "ours_accs": [round(a, 2) for a in ours_accs],
@@ -589,10 +731,19 @@ def main():
                     and c.get("test_n") == int(xt.shape[0])
                     and len(c.get("ref_accs", [])) >= args.seeds)
 
-        c0 = ref_cache.get((name, 0))
-        cb = (ref_cache.get((name, args.bn_refresh))
-              if args.bn_refresh else None)
-        if _cache_ok(c0) and (not args.bn_refresh or _cache_ok(cb)):
+        def _cache_pick(key):
+            """First row (file order) passing the fixture check — the
+            original torch-trained record, never a later shadow; under
+            --match-init only match_init rows qualify (ADVICE r4)."""
+            for c in ref_cache.get(key, []):
+                if _cache_ok(c) and (not args.match_init
+                                     or c.get("match_init")):
+                    return c
+            return None
+
+        c0 = _cache_pick((name, 0))
+        cb = _cache_pick((name, args.bn_refresh)) if args.bn_refresh else None
+        if c0 is not None and (not args.bn_refresh or cb is not None):
             # seeds are range(seeds) on both sides, so a prefix is valid
             ref_accs = c0["ref_accs"][:args.seeds]
             ref_bn = cb["ref_accs"][:args.seeds] if args.bn_refresh else None
@@ -602,7 +753,7 @@ def main():
         else:
             ref_accs, ref_bn, ref_t = train_reference(
                 fam, xs, ys, xt, yt, epochs, bs, args.seeds,
-                bn_refresh=args.bn_refresh)
+                bn_refresh=args.bn_refresh, bank=bank)
         quantum = 100.0 / xt.shape[0]  # one test image
         # Proper two-sample statistics (VERDICT r2 #3: "within spread" is
         # nearly unfalsifiable when one outlier seed widens the ptp); under
