@@ -27,20 +27,25 @@ class HybridPDEExtractor(Module):
     """M8 (cifar_2version.py:261-302): 2 Lie-splitting diffusion layers +
     parabolic + Hamiltonian blocks, 4-way softmax combine, BN."""
 
-    def __init__(self, input_size=32, channels=3):
+    def __init__(self, input_size=32, channels=3,
+                 ruthotto_dtype=jnp.bfloat16):
         self.diffusion1 = MixedChannelDiffusion(input_size, channels, dt=0.001,
                                                 num_steps=8, splitting="lie")
         self.diffusion2 = MixedChannelDiffusion(input_size, channels, dt=0.002,
                                                 num_steps=5, splitting="lie")
-        # bf16 operands for the Ruthotto K matmuls: THIS model is the one the
-        # reference trains under AMP autocast (cifar_2version.py:503), and
-        # the blocks are weight-traffic-bound (see pde/ruthotto.py).  The
-        # layers themselves default to exact f32.
+        # bf16 operands for the Ruthotto K matmuls BY DEFAULT: THIS model is
+        # the one the reference trains under AMP autocast
+        # (cifar_2version.py:503), and the blocks are weight-traffic-bound
+        # (see pde/ruthotto.py).  ``ruthotto_dtype=jnp.float32`` is the
+        # exact grade — the parity-measurement configuration, since the
+        # torch reference's autocast('cuda') is a NO-OP on the CPU it is
+        # compared on, i.e. the parity baseline trains f32 (PARITY.md
+        # §hybrid-amp-grade).  The layers themselves default to exact f32.
         self.parabolic = ParabolicBlock(channels, input_size, num_steps=4,
-                                        dt=0.5, compute_dtype=jnp.bfloat16)
+                                        dt=0.5, compute_dtype=ruthotto_dtype)
         self.hamiltonian = HamiltonianBlock(channels, input_size, num_steps=3,
                                             dt=0.8,
-                                            compute_dtype=jnp.bfloat16)
+                                            compute_dtype=ruthotto_dtype)
         self.feature_norm = BatchNorm(channels)
 
     def init(self, key):
@@ -104,8 +109,9 @@ class HybridClassifierHead(Module):
 class CIFAR10HybridPDEModel(Module):
     """M11 (cifar_2version.py:370-412)."""
 
-    def __init__(self, dropout_rate=0.4):
-        self.feature_extractor = HybridPDEExtractor(32, 3)
+    def __init__(self, dropout_rate=0.4, ruthotto_dtype=jnp.bfloat16):
+        self.feature_extractor = HybridPDEExtractor(
+            32, 3, ruthotto_dtype=ruthotto_dtype)
         self.attention = NonConvSpatialAttention(3, 32)
         self.avg_pool = AdaptiveAvgPool2d(8)
         self.max_pool = AdaptiveMaxPool2d(8)

@@ -54,6 +54,40 @@ def _is_batchnorm(d):
     return isinstance(d, dict) and set(d) == {"scale", "bias"}
 
 
+def _is_symmetric(d):
+    """The SymmetricLayer param pattern (pde/ruthotto.py): a bias-free
+    SQUARE Linear ``K`` plus a BatchNorm over its output features.  The
+    layer computes F_sym(Y) = −σ(BN(Y·w))·wᵀ — the same matrix applied
+    twice (cifar_2version.py:199,210-211,220)."""
+    return (isinstance(d, dict) and set(d) == {"K", "norm"}
+            and _is_linear(d["K"]) and "b" not in d["K"]
+            and d["K"]["w"].shape[0] == d["K"]["w"].shape[1]
+            and _is_batchnorm(d["norm"]))
+
+
+def _symmetric_specs(d, tp, axis, min_features):
+    """Megatron col→row with ONE matrix: shard w (in,out layout) over its
+    OUT dim, P(None, axis).  The first matmul Y·w is then column-parallel
+    (activations feature-sharded; BN params/stats ride the shard, and its
+    batch-statistics reduction is over the batch axis, so it needs no
+    'model' collective); the second matmul σ(...)·wᵀ contracts over the
+    SAME sharded feature axis — row-parallel — leaving per-device partial
+    sums whose psum over 'model' is the single all-reduce XLA must insert
+    to restore the replicated (B, D) output that feeds Y + dt·F.  One
+    all-reduce per F_sym evaluation; asserted against compiled HLO in
+    tests/test_tensor_parallel.py::test_symmetric_hlo_one_allreduce_per_step.
+
+    The hybrid model's K is 3072² ≈ 9.4M params — the repo's largest single
+    weight and SURVEY §2.6-4's named TP case; sharding it col-parallel
+    splits both the weight and the (B, 3072) hidden activations 1/tp per
+    device."""
+    D = d["K"]["w"].shape[0]
+    if D % tp != 0 or D < min_features:
+        return jax.tree_util.tree_map(lambda _: P(), d)
+    return {"K": {"w": P(None, axis)},
+            "norm": {"scale": P(axis), "bias": P(axis)}}
+
+
 def _chain_specs(seq, tp, axis, min_features):
     """Specs for one Sequential chain: alternate column/row parallel.
 
@@ -99,6 +133,8 @@ def tp_param_specs(params, mesh, *, axis=AXIS, min_features=128):
         return jax.tree_util.tree_map(lambda _: P(), params)
 
     def walk(node):
+        if _is_symmetric(node):
+            return _symmetric_specs(node, tp, axis, min_features)
         if _is_sequential(node) and any(
                 _is_linear(v) for v in node.values()):
             return _chain_specs(node, tp, axis, min_features)

@@ -253,6 +253,170 @@ def test_tp_serving_matches_replicated(key):
                                rtol=1e-5, atol=1e-6)
 
 
+# ---------------------------------------------------------------------------
+# SymmetricLayer tensor parallelism (VERDICT r4 #3): the hybrid model's
+# 3072² K — the repo's largest single weight and SURVEY §2.6-4's named TP
+# case — sharded col-parallel with the one row-parallel psum where the
+# design says it must land.
+
+def _parabolic_model(num_steps=2, spatial=8):
+    """Small SymmetricLayer-bearing classifier: ParabolicBlock (D = 3·8² =
+    192, divisible by the 4- and 8-way 'model' axes) + flatten + head."""
+    from cnn_pde_tpu.nn.core import Module
+    from cnn_pde_tpu.nn.layers import Linear
+    from cnn_pde_tpu.pde import ParabolicBlock
+
+    class ParabolicNet(Module):
+        def __init__(self):
+            self.block = ParabolicBlock(3, spatial, num_steps=num_steps,
+                                        dt=0.5)
+            self.head = Linear(3 * spatial * spatial, 10)
+
+        def init(self, key):
+            k1, k2 = jax.random.split(key)
+            pb, sb = self.block.init(k1)
+            ph, _ = self.head.init(k2)
+            return {"block": pb, "head": ph}, {"block": sb}
+
+        def apply(self, params, state, x, ctx):
+            y, sb = self.block.apply(params["block"], state["block"], x, ctx)
+            logits, _ = self.head.apply(params["head"], {},
+                                        y.reshape(y.shape[0], -1), ctx)
+            return logits, {"block": sb}
+
+    return ParabolicNet()
+
+
+def test_symmetric_tp_specs_hybrid_model(key):
+    """The full CIFAR10HybridPDEModel: all three SymmetricLayers' K shard
+    col-parallel over 'model' with BN riding the shard; the head chain keeps
+    its Megatron alternation; diffusion coefficient fields stay replicated."""
+    from cnn_pde_tpu.models.cifar10_hybrid import CIFAR10HybridPDEModel
+
+    model = CIFAR10HybridPDEModel(dropout_rate=0.0)
+    params, _ = model.init(key)
+    mesh = make_mesh(data=2, model=4)
+    specs = tp_param_specs(params, mesh)
+    fe = specs["feature_extractor"]
+    for sym in (fe["parabolic"]["sym"], fe["hamiltonian"]["F_Y"],
+                fe["hamiltonian"]["F_Z"]):
+        assert sym["K"]["w"] == P(None, "model")
+        assert sym["norm"]["scale"] == P("model")
+        assert sym["norm"]["bias"] == P("model")
+    for name in ("diffusion1", "diffusion2"):
+        assert all(s == P() for s in jax.tree_util.tree_leaves(
+            fe[name], is_leaf=lambda x: isinstance(x, type(P()))))
+    cl = specs["classifier"]
+    assert cl["0"]["w"] == P(None, "model")      # 384→1024 column
+    assert cl["4"]["w"] == P("model", None)      # 1024→512 row
+
+
+def test_symmetric_tp_weights_are_distributed(key):
+    model = _parabolic_model()
+    params, _ = model.init(key)
+    mesh = make_mesh(data=2, model=4)
+    p = shard_pytree(mesh, params, tp_param_specs(params, mesh))
+    w = p["block"]["sym"]["K"]["w"]              # (192, 192) col over 4
+    assert {s.data.shape for s in w.addressable_shards} == {(192, 48)}
+    scale = p["block"]["sym"]["norm"]["scale"]
+    assert {s.data.shape for s in scale.addressable_shards} == {(48,)}
+
+
+def test_symmetric_tp_grads_match_single_device(key):
+    """Gradients (incl. into the doubly-applied K) under the SymmetricLayer
+    sharding equal single-device to summation-order tolerance."""
+    model = _parabolic_model()
+    params, mstate = model.init(key)
+    kx, kl = jax.random.split(jax.random.PRNGKey(5))
+    images = jax.random.normal(kx, (16, 3, 8, 8), jnp.float32)
+    labels = jax.random.randint(kl, (16,), 0, 10)
+
+    def grads(p):
+        def loss_fn(pp):
+            logits, _ = model.apply(pp, mstate, images, Ctx(train=False))
+            return cross_entropy(logits, labels, 0.1)
+        return jax.grad(loss_fn)(p)
+
+    g1 = jax.jit(grads)(params)
+    mesh = make_mesh(data=2, model=4)
+    p2 = shard_pytree(mesh, params, tp_param_specs(params, mesh))
+    g2 = jax.jit(grads)(p2)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_symmetric_tp_trajectory_sgd_matches_single_device(key):
+    """3 SGD train steps under DP×TP reproduce the single-device trajectory
+    (SGD per the mesh invariant — Adam's sign-step amplifies reduction-order
+    noise on zero-gradient params, CLAUDE.md)."""
+    model = _parabolic_model()
+    params, mstate = model.init(key)
+    opt = optax.sgd(1e-2, momentum=0.9)
+    kx, kl, ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    images = jax.random.normal(kx, (16, 3, 8, 8), jnp.float32)
+    labels = jax.random.randint(kl, (16,), 0, 10)
+
+    def step(p, ms, os_, x, y, rng):
+        def loss_fn(pp):
+            logits, new_ms = model.apply(pp, ms, x, Ctx(train=True, rng=rng))
+            return cross_entropy(logits, y, 0.1), new_ms
+        (l, new_ms), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        upd, new_os = opt.update(g, os_, p)
+        return optax.apply_updates(p, upd), new_ms, new_os, l
+
+    ref_step = jax.jit(step)
+    p1, ms1, os1 = params, mstate, opt.init(params)
+    ref_losses = []
+    for i in range(3):
+        p1, ms1, os1, l = ref_step(p1, ms1, os1, images, labels,
+                                   jax.random.fold_in(ks, i))
+        ref_losses.append(float(l))
+
+    mesh = make_mesh(data=2, model=4)
+    p2 = shard_pytree(mesh, params, tp_param_specs(params, mesh))
+    ms2 = replicated_like(mesh, mstate)
+    os2 = jax.jit(opt.init)(p2)
+    tp_step = make_tp_train_step(model, opt, mesh, label_smoothing=0.1)
+    tp_losses = []
+    for i in range(3):
+        p2, ms2, os2, l = tp_step(p2, ms2, os2, images, labels,
+                                  jax.random.fold_in(ks, i))
+        tp_losses.append(float(l))
+    np.testing.assert_allclose(tp_losses, ref_losses, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_symmetric_hlo_one_allreduce_per_step(key):
+    """Communication shape (hlo_audit discipline): a ParabolicBlock forward
+    with num_steps=N on a model-only mesh compiles to EXACTLY N all-reduces
+    — one row-parallel psum per F_sym evaluation, after the second matmul
+    (σ(BN(Y·w))·wᵀ contracts over the sharded feature axis) — and no
+    all-to-alls; the hidden activations never materialize unsharded."""
+    from cnn_pde_tpu.parallel.hlo_audit import collective_counts
+    from cnn_pde_tpu.pde import ParabolicBlock
+
+    for n_steps in (1, 3):
+        block = ParabolicBlock(3, 8, num_steps=n_steps, dt=0.5)
+        params, mstate = block.init(key)
+        mesh = make_mesh(data=1, model=8)
+        p = shard_pytree(mesh, params, tp_param_specs(params, mesh))
+
+        def fwd(pp, x):
+            y, _ = block.apply(pp, mstate, x, Ctx(train=False))
+            return y
+
+        x = jnp.ones((4, 3, 8, 8), jnp.float32)
+        txt = jax.jit(fwd).lower(p, x).compile().as_text()
+        counts = collective_counts(txt)
+        assert counts["all-reduce"] == n_steps, (n_steps, counts)
+        assert counts["all-to-all"] == 0, counts
+
+
 def test_make_mesh_three_axes_backcompat():
     m = make_mesh(spatial=1)
     assert m.axis_names == ("data", "spatial", "model")

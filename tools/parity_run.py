@@ -185,7 +185,7 @@ def _seed_key(rec):
     return (rec["side"], rec["family"], int(rec["seed"]), int(rec["epochs"]),
             int(rec["batch"]), int(rec["train_n"]), int(rec["test_n"]),
             bool(rec.get("match_init")), int(rec.get("bn_refresh") or 0),
-            rec.get("platform"))
+            rec.get("platform"), rec.get("variant"))
 
 
 def _seed_bank_load(path):
@@ -247,8 +247,10 @@ def train_reference(fam, xs, ys, xt, yt, epochs, bs, seeds, bn_refresh=0,
     With ``bank``, finished seeds append incrementally and banked seeds are
     skipped (wall time then includes the banked seeds' recorded walls)."""
     ref = load_ref(fam["ref_file"])
+    # the torch side is identical across our-side variants (e.g. the
+    # ruthotto_f32 precision grade), so its bank key carries variant=None
     meta = dict(bank["meta"], platform="torch-cpu",
-                match_init=True) if bank else None
+                match_init=True, variant=None) if bank else None
     accs, accs_bn, wall = [], [], 0.0
     for seed in range(seeds):
         rec = _banked_seed(bank, meta, "ref", seed,
@@ -404,7 +406,15 @@ def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds, match_init=False,
     preset = get_preset(fam["preset"])
     ds = ArrayDataset(xs, ys, xt, yt,
                       num_classes=int(ys.max()) + 1)
-    model = MODEL_REGISTRY[preset.model](**preset.model_kwargs)
+    model_kwargs = dict(preset.model_kwargs)
+    if fam.get("ruthotto_f32"):
+        # exact-grade SymmetricLayers for the precision-matched comparison:
+        # the torch baseline's autocast('cuda') is a no-op on CPU, so the
+        # reference side trains f32 — the bf16 default is the AMP grade
+        # (PARITY.md §hybrid-amp-grade)
+        import jax.numpy as jnp
+        model_kwargs["ruthotto_dtype"] = jnp.float32
+    model = MODEL_REGISTRY[preset.model](**model_kwargs)
     spe = ds.steps_for_batch(bs)
     kind, kw = fam["sched"]
     if kind == "cosine":
@@ -419,7 +429,9 @@ def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds, match_init=False,
         clip_norm=fam["clip"], device_epoch=True)
     trainer = Trainer(model, config, schedule)  # no augmentation: see module
     meta = dict(bank["meta"], platform=jax.default_backend(),
-                match_init=bool(match_init)) if bank else None
+                match_init=bool(match_init),
+                variant=("ruthotto_f32" if fam.get("ruthotto_f32")
+                         else None)) if bank else None
     t0 = time.time()
     wall = 0.0
     accs, accs_bn = [], []
@@ -551,6 +563,8 @@ def _record_row(row):
            for k, v in row.items()}
     key = row["family"] + (f"+bn{row['bn_refresh']}"
                            if row.get("bn_refresh") else "")
+    if row.get("variant"):
+        key += f"+{row['variant']}"
     record("parity", {key: rec})
 
 
@@ -644,6 +658,13 @@ def main():
         "partial evidence instead of discarding all seeds")
     ap.add_argument("--no-seed-bank", action="store_true",
                     help="disable the per-seed bank (fresh seeds, no reuse)")
+    ap.add_argument("--hybrid-f32", action="store_true",
+                    help="exact-grade (f32) SymmetricLayer matmuls for the "
+                    "cifar10_hybrid family instead of the production bf16 "
+                    "AMP grade — the precision-MATCHED comparison against "
+                    "the torch-CPU baseline, whose autocast('cuda') is a "
+                    "no-op on CPU (PARITY.md §hybrid-amp-grade); rows are "
+                    "keyed variant=ruthotto_f32 in both banks")
     args = ap.parse_args()
 
     if args.platform:
@@ -691,6 +712,8 @@ def main():
     rows, rows_bn = [], []
     for name in args.families:
         fam = FAMILIES[name]
+        if args.hybrid_f32 and name == "cifar10_hybrid":
+            fam = dict(fam, ruthotto_f32=True)
         preset = get_preset(fam["preset"])
         tpc, spc = args.train_per_class, args.test_per_class
         tpc *= fam.get("tpc_scale", 1)
@@ -761,6 +784,8 @@ def main():
         row = build_row(name, epochs, bs, n, int(xt.shape[0]), args.seeds,
                         ref_accs, ours_accs, ref_t, ours_t,
                         args.match_init, 0, quantum)
+        if fam.get("ruthotto_f32"):
+            row["variant"] = "ruthotto_f32"
         rows.append(row)
         print(json.dumps(row), flush=True)
         _record_row(row)
@@ -768,6 +793,8 @@ def main():
             row_bn = build_row(name, epochs, bs, n, int(xt.shape[0]),
                                args.seeds, ref_bn, ours_bn, ref_t, ours_t,
                                args.match_init, args.bn_refresh, quantum)
+            if fam.get("ruthotto_f32"):
+                row_bn["variant"] = "ruthotto_f32"
             rows_bn.append(row_bn)
             print(json.dumps(row_bn), flush=True)
             _record_row(row_bn)
