@@ -40,6 +40,7 @@ __all__ = [
     "tridiag_solve",
     "tridiag_solve_scan",
     "tridiag_solve_pcr",
+    "tridiag_solve_pcr_fused",
     "tridiag_solve_precomputed",
     "tridiag_solve_unrolled",
     "thomas_solve_reference",
@@ -139,6 +140,79 @@ def tridiag_solve_pcr(a, b, c, d):
         d_new = d + alpha * shift_right(d, s, 0.0) + gamma * shift_left(d, s, 0.0)
         a, b, c, d = a_new, b_new, c_new, d_new
         s *= 2
+    return d / b
+
+
+def tridiag_solve_pcr_fused(a, b, c, d):
+    """PCR with the BATCHED RHS updated in fused level pairs (VERDICT r4 #5
+    — the directed shot at the sweep-core roofline gap).
+
+    The standard PCR applies log2(N) sequential d-updates, each streaming
+    the full batched RHS in and out of HBM (the coefficient chains are
+    batch-free and negligible).  Two consecutive levels
+        d1[j] = d[j] + a1[j]·d[j−s] + g1[j]·d[j+s]
+        d2[j] = d1[j] + a2[j]·d1[j−2s] + g2[j]·d1[j+2s]
+    compose into ONE 7-tap batched pass with batch-free composite weights
+    (expand d1 inside d2; the ±s taps pick up the cross terms):
+        w[−3s] = a2·a1(j−2s)      w[+3s] = g2·g1(j+2s)
+        w[−2s] = a2               w[+2s] = g2
+        w[−s]  = a1 + a2·g1(j−2s) w[+s]  = g1 + g2·a1(j+2s)
+    halving the RHS memory passes (5 levels → 3 passes at N=32).
+    Identical system ⇒ identical answer up to float association order.
+    Measured outcome recorded in PERF.md §roofline either way.
+    """
+    N = d.shape[-1]
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    c = jnp.asarray(c)
+    a = jnp.concatenate([jnp.zeros_like(a[..., :1]), a[..., 1:]], axis=-1)
+    c = jnp.concatenate([c[..., :-1], jnp.zeros_like(c[..., :1])], axis=-1)
+
+    def shift_right(x, s, fill):
+        pad = [(0, 0)] * (x.ndim - 1) + [(s, 0)]
+        return jnp.pad(x, pad, constant_values=fill)[..., :N]
+
+    def shift_left(x, s, fill):
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, s)]
+        return jnp.pad(x, pad, constant_values=fill)[..., s:]
+
+    # batch-free coefficient reduction, recording each level's (alpha, gamma)
+    levels = max(1, (N - 1).bit_length())
+    coefs = []
+    s = 1
+    for _ in range(levels):
+        alpha = -a / shift_right(b, s, 1.0)
+        gamma = -c / shift_left(b, s, 1.0)
+        coefs.append((alpha, gamma, s))
+        a, b, c = (alpha * shift_right(a, s, 0.0),
+                   b + alpha * shift_right(c, s, 0.0)
+                   + gamma * shift_left(a, s, 0.0),
+                   gamma * shift_left(c, s, 0.0))
+        s *= 2
+
+    # fused application to the batched RHS, two levels per pass
+    i = 0
+    while i < len(coefs):
+        if i + 1 < len(coefs):
+            a1, g1, s1 = coefs[i]
+            a2, g2, s2 = coefs[i + 1]
+            w_m3 = a2 * shift_right(a1, s2, 0.0)
+            w_m1 = a1 + a2 * shift_right(g1, s2, 0.0)
+            w_p1 = g1 + g2 * shift_left(a1, s2, 0.0)
+            w_p3 = g2 * shift_left(g1, s2, 0.0)
+            d = (d
+                 + w_m1 * shift_right(d, s1, 0.0)
+                 + w_p1 * shift_left(d, s1, 0.0)
+                 + a2 * shift_right(d, s2, 0.0)
+                 + g2 * shift_left(d, s2, 0.0)
+                 + w_m3 * shift_right(d, 3 * s1, 0.0)
+                 + w_p3 * shift_left(d, 3 * s1, 0.0))
+            i += 2
+        else:
+            a1, g1, s1 = coefs[i]
+            d = (d + a1 * shift_right(d, s1, 0.0)
+                 + g1 * shift_left(d, s1, 0.0))
+            i += 1
     return d / b
 
 
@@ -262,8 +336,8 @@ def set_default_impl(impl: str):
       'auto'   pcr (measured fastest in chained training loops)
     Returns the previous setting."""
     global _DEFAULT_IMPL
-    assert impl in ("scan", "pcr", "matinv", "matinv_bf16", "pallas",
-                    "auto"), impl
+    assert impl in ("scan", "pcr", "pcr2", "matinv", "matinv_bf16",
+                    "pallas", "auto"), impl
     prev = _DEFAULT_IMPL
     _DEFAULT_IMPL = impl
     return prev
@@ -292,6 +366,8 @@ def _solve_impl(a, b, c, d):
         return _apply_inverse(tridiag_inverse_operator(a, b, c, dt), d)
     if impl == "pcr":
         return tridiag_solve_pcr(a, b, c, d)
+    if impl == "pcr2":
+        return tridiag_solve_pcr_fused(a, b, c, d)
     return _thomas_scan(a, b, c, d)
 
 

@@ -120,6 +120,36 @@ def test_pcr_matches_scan(rng, n):
     np.testing.assert_allclose(x_pcr, x_scan, rtol=1e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 7, 28, 32, 33, 64])
+def test_pcr_fused_matches_scan(rng, n):
+    """The fused-level-pair PCR (impl 'pcr2' — halved RHS memory passes,
+    VERDICT r4 #5) solves the identical system: agreement to float32
+    roundoff, including odd sizes and the degenerate N=1/2/3 cases where
+    the pairing leaves a trailing single level."""
+    from cnn_pde_tpu.ops.tridiag import tridiag_solve_pcr_fused
+
+    a, b, c, d = random_system(rng, 32, n)
+    x_scan = np.asarray(tridiag_solve_scan(a, b, c, d))
+    x_f = np.asarray(tridiag_solve_pcr_fused(a, b, c, d))
+    np.testing.assert_allclose(x_f, x_scan, rtol=1e-5, atol=2e-6)
+
+
+def test_pcr_fused_batch_free_coefficients(rng):
+    """pcr2 keeps (a, b, c) batch-free (the ADI invariant): broadcastable
+    coefficient shapes must produce the same answer as expanded ones."""
+    from cnn_pde_tpu.ops.tridiag import tridiag_solve_pcr_fused
+
+    n = 32
+    a, b, c, d = random_system(rng, 4, n)
+    a1, b1, c1 = a[0], b[0], c[0]  # (n,) broadcast over the batch
+    d = np.broadcast_to(d[0], (6, 4, n)).copy()
+    x_bc = np.asarray(tridiag_solve_pcr_fused(a1, b1, c1, d))
+    x_full = np.asarray(tridiag_solve_pcr_fused(
+        np.broadcast_to(a1, d.shape), np.broadcast_to(b1, d.shape),
+        np.broadcast_to(c1, d.shape), d))
+    np.testing.assert_allclose(x_bc, x_full, rtol=1e-6, atol=1e-7)
+
+
 def test_pcr_mode_layer_parity(rng, key):
     """A full PDE layer under impl='pcr' must still match the float64 golden
     oracle at 1e-5 (the activation-parity budget)."""
