@@ -38,11 +38,12 @@ def key():
 # ---------------------------------------------------------------------------
 # quick tier: `pytest -m quick` — the inner-loop subset: cheap sharding
 # equivalence per kernel family, golden parity per PDE layer family, one
-# solver/stencil correctness test each.  Measured 2026-08-20: ~1:50 under a
-# loaded machine (VERDICT r3 #5 re-budget; the previous tier measured 6:46
-# because five multi-device-compile tests cost 441 of its 547 s — those now
-# form the `core` mid-tier below).  `pytest -m "quick or core"` ≈ 9 min
-# loaded; the full suite (~30 min) remains CI's job.
+# solver/stencil correctness test each.  Measured 50 s on a quiet machine
+# (round-4 verdict re-run) to ~1:50 loaded (VERDICT r3 #5 re-budget; the
+# previous tier measured 6:46 because five multi-device-compile tests cost
+# 441 of its 547 s — those now form the `core` mid-tier below).
+# `pytest -m "quick or core"` ≈ 3:30 quiet / 9 min loaded; the full suite
+# (~30 min) remains CI's job.
 QUICK_TESTS = {
     # sharded kernels (the cheap equivalence test per family)
     "test_parallel.py::test_ftcs_spatial_matches_unsharded",
