@@ -103,6 +103,9 @@ def check_drift(perf_dir=None, threshold=0.15):
             continue
         with open(os.path.join(perf_dir, fname)) as f:
             recs = [json.loads(line) for line in f if line.strip()]
+        # only harness-envelope records are drift-comparable (the per-seed
+        # parity bank parity_seeds.jsonl uses a flat per-seed schema)
+        recs = [r for r in recs if isinstance(r.get("results"), dict)]
         if not recs:
             continue
         latest = recs[-1]
