@@ -481,6 +481,52 @@ def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds, match_init=False,
 
 
 # --------------------------------------------------------------------------
+# family-level ref-accs cache (--ref-accs-from)
+
+def load_ref_cache(path):
+    """{(family, bn_refresh): [row, ...]} in file order, from raw row lines
+    (our stdout/logs) AND perf_record envelopes (perf/parity.jsonl:
+    {ts,...,argv,results:{key:row}}).  Envelope rows produced by a run that
+    ITSELF reused cached ref accs (--ref-accs-from in its argv) are
+    derivative, not provenance — skipped, so a TPU re-run can never shadow
+    the original torch-trained row (ADVICE r4)."""
+    ref_cache = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(r.get("results"), dict):
+                if any("--ref-accs-from" in str(a)
+                       for a in (r.get("argv") or [])):
+                    continue
+                cands = list(r["results"].values())
+            else:
+                cands = [r]
+            for c in cands:
+                if isinstance(c, dict) and "family" in c \
+                        and "ref_accs" in c:
+                    ref_cache.setdefault(
+                        (c["family"], c.get("bn_refresh") or 0),
+                        []).append(c)
+    return ref_cache
+
+
+def pick_cached_row(ref_cache, key, cache_ok, match_init):
+    """First row (file order) passing the fixture check — the original
+    torch-trained record, never a later shadow; under --match-init only
+    match_init rows qualify (ADVICE r4)."""
+    for c in ref_cache.get(key, []):
+        if cache_ok(c) and (not match_init or c.get("match_init")):
+            return c
+    return None
+
+
+# --------------------------------------------------------------------------
 
 def build_row(name, epochs, bs, n, test_n, seeds, ref_accs, ours_accs,
               ref_t, ours_t, match_init, bn_refresh, quantum):
@@ -678,36 +724,8 @@ def main():
     from cnn_pde_tpu.data import make_synthetic
     from cnn_pde_tpu.utils.config import get_preset
 
-    ref_cache = {}
-    if args.ref_accs_from:
-        with open(args.ref_accs_from) as f:
-            for line in f:
-                line = line.strip()
-                if not line.startswith("{"):
-                    continue
-                try:
-                    r = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                # accept raw row lines (our stdout/logs) AND perf_record
-                # envelopes (perf/parity.jsonl: {ts,...,results:{key:row}}).
-                # Envelope rows produced by a run that ITSELF reused cached
-                # ref accs (--ref-accs-from in its argv) are derivative, not
-                # provenance — skip them so a TPU re-run can never shadow
-                # the original torch-trained row (ADVICE r4).
-                if isinstance(r.get("results"), dict):
-                    if any("--ref-accs-from" in str(a)
-                           for a in (r.get("argv") or [])):
-                        continue
-                    cands = list(r["results"].values())
-                else:
-                    cands = [r]
-                for c in cands:
-                    if isinstance(c, dict) and "family" in c \
-                            and "ref_accs" in c:
-                        ref_cache.setdefault(
-                            (c["family"], c.get("bn_refresh") or 0),
-                            []).append(c)
+    ref_cache = load_ref_cache(args.ref_accs_from) \
+        if args.ref_accs_from else {}
 
     rows, rows_bn = [], []
     for name in args.families:
@@ -754,18 +772,10 @@ def main():
                     and c.get("test_n") == int(xt.shape[0])
                     and len(c.get("ref_accs", [])) >= args.seeds)
 
-        def _cache_pick(key):
-            """First row (file order) passing the fixture check — the
-            original torch-trained record, never a later shadow; under
-            --match-init only match_init rows qualify (ADVICE r4)."""
-            for c in ref_cache.get(key, []):
-                if _cache_ok(c) and (not args.match_init
-                                     or c.get("match_init")):
-                    return c
-            return None
-
-        c0 = _cache_pick((name, 0))
-        cb = _cache_pick((name, args.bn_refresh)) if args.bn_refresh else None
+        c0 = pick_cached_row(ref_cache, (name, 0), _cache_ok,
+                             args.match_init)
+        cb = (pick_cached_row(ref_cache, (name, args.bn_refresh), _cache_ok,
+                              args.match_init) if args.bn_refresh else None)
         if c0 is not None and (not args.bn_refresh or cb is not None):
             # seeds are range(seeds) on both sides, so a prefix is valid
             ref_accs = c0["ref_accs"][:args.seeds]
