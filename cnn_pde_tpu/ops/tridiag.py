@@ -325,6 +325,9 @@ def set_default_impl(impl: str):
     """Select the forward/adjoint solver implementation:
       'scan'   sequential Thomas (bit-closest to the reference recurrence)
       'pcr'    log-depth cyclic reduction (vectorized XLA)
+      'pcr2'   PCR with the batched RHS updated in fused level pairs —
+               measured NEGATIVE on v5e (core −6%, step −10%; PERF.md
+               §pcr2), kept as a tested opt-in
       'matinv' batch-free explicit inverse + one MXU matmul per solve
                (coefficients must broadcast over the batch — true for every
                ADI sweep here; measured ≈ pcr on v5e, see PERF.md)

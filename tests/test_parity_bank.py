@@ -95,6 +95,23 @@ def test_ref_cache_skips_derivative_rows(tmp_path):
     assert [r.get("tag") for r in rows] == ["provenance"]
 
 
+def test_ref_cache_provenance_field_beats_argv_heuristic(tmp_path):
+    """Rows carrying the explicit ref_provenance field are filtered on it:
+    a run that was OFFERED a cache (--ref-accs-from in argv) but fixture-
+    missed and actually TRAINED its torch side stays usable provenance;
+    'cached' rows are skipped regardless of argv."""
+    p = tmp_path / "bank.jsonl"
+    trained = dict(_row(tag="trained-despite-argv"), ref_provenance="trained")
+    cached = dict(_row(tag="cached"), ref_provenance="cached")
+    p.write_text("\n".join([
+        _envelope(["--ref-accs-from", "x.jsonl"], "mnist", trained),
+        _envelope([], "mnist", cached),
+    ]) + "\n")
+    cache = parity_run.load_ref_cache(str(p))
+    assert [r.get("tag") for r in cache[("mnist", 0)]] == [
+        "trained-despite-argv"]
+
+
 def test_ref_cache_first_fixture_match_wins(tmp_path):
     p = tmp_path / "bank.jsonl"
     p.write_text("\n".join([

@@ -229,10 +229,23 @@ def _bank_seed(bank, meta, side, seed, acc, acc_bn, wall_s):
 
 def _banked_seed(bank, meta, side, seed, need_bn):
     """A banked record for this exact (side, seed, fixture), or None.  A
-    record banked without the bn eval cannot serve a dual-eval run."""
+    record banked without the bn eval cannot serve a dual-eval run.
+
+    The key deliberately has NO code-version dimension — banked rows are
+    the measured, deterministic output of the revision in their ``git``
+    field, and invalidating on every commit would defeat the resume
+    purpose.  Reuse across revisions therefore WARNS when the banked git
+    differs from HEAD: after a numerics-affecting change, pass
+    --no-seed-bank (or delete the affected rows) to re-measure."""
     rec = bank["rows"].get(_seed_key(dict(meta, side=side, seed=seed)))
     if rec is not None and need_bn and rec.get("acc_bn") is None:
         return None
+    if rec is not None:
+        head = _git_short()
+        if head and rec.get("git") and rec["git"] != head:
+            print(f"  WARNING: {side} seed {seed} banked at git "
+                  f"{rec['git']}, HEAD is {head} — if numerics changed "
+                  "since, rerun with --no-seed-bank", flush=True)
     return rec
 
 
@@ -486,10 +499,17 @@ def train_ours(fam, xs, ys, xt, yt, epochs, bs, seeds, match_init=False,
 def load_ref_cache(path):
     """{(family, bn_refresh): [row, ...]} in file order, from raw row lines
     (our stdout/logs) AND perf_record envelopes (perf/parity.jsonl:
-    {ts,...,argv,results:{key:row}}).  Envelope rows produced by a run that
-    ITSELF reused cached ref accs (--ref-accs-from in its argv) are
-    derivative, not provenance — skipped, so a TPU re-run can never shadow
-    the original torch-trained row (ADVICE r4)."""
+    {ts,...,argv,results:{key:row}}).
+
+    Provenance rule: rows whose ref accs were themselves pulled from a
+    cache are derivative and must never shadow the original torch-trained
+    row (ADVICE r4).  Rows written since round 5 carry an explicit
+    ``ref_provenance`` field ('trained' | 'cached') and are filtered on
+    it — a run that was OFFERED a cache but fixture-missed and actually
+    trained stays usable.  Older envelope rows without the field fall back
+    to the conservative argv heuristic (skip if the producing run passed
+    --ref-accs-from); their seeds remain reusable through the per-seed
+    bank either way."""
     ref_cache = {}
     with open(path) as f:
         for line in f:
@@ -501,10 +521,14 @@ def load_ref_cache(path):
             except json.JSONDecodeError:
                 continue
             if isinstance(r.get("results"), dict):
-                if any("--ref-accs-from" in str(a)
-                       for a in (r.get("argv") or [])):
-                    continue
                 cands = list(r["results"].values())
+                if any(isinstance(c, dict) and "ref_provenance" in c
+                       for c in cands):
+                    cands = [c for c in cands
+                             if c.get("ref_provenance") == "trained"]
+                elif any("--ref-accs-from" in str(a)
+                         for a in (r.get("argv") or [])):
+                    continue
             else:
                 cands = [r]
             for c in cands:
@@ -689,12 +713,13 @@ def main():
                     "row matches this run's fixture (epochs/batch/train_n/"
                     "test_n) and covers >= --seeds seeds, reuse its ref_accs "
                     "instead of re-training the torch side (hours of CPU). "
-                    "Valid for --match-init too: the reference side of seed "
-                    "s always trains from the torch.manual_seed(s) init. "
-                    "Envelope rows whose own argv used --ref-accs-from are "
-                    "skipped (ADVICE r4: only torch-trained rows are "
-                    "provenance), and under --match-init only match_init "
-                    "rows qualify.")
+                    "Only rows whose ref side was actually TRAINED qualify "
+                    "(ref_provenance field; argv heuristic for older rows "
+                    "— ADVICE r4), and under --match-init only match_init "
+                    "rows are accepted (the torch side would be identical "
+                    "either way, but unpaired-era rows predate the current "
+                    "fixture discipline; the per-seed bank still reuses "
+                    "their seeds if keys match).")
     ap.add_argument("--seed-bank", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "perf", "parity_seeds.jsonl"),
@@ -703,7 +728,13 @@ def main():
         "the same fixture skip banked seeds — a family timeout preserves "
         "partial evidence instead of discarding all seeds")
     ap.add_argument("--no-seed-bank", action="store_true",
-                    help="disable the per-seed bank (fresh seeds, no reuse)")
+                    help="disable the per-seed bank (fresh seeds, no reuse) "
+                    "— REQUIRED after a numerics-affecting code change, "
+                    "since bank keys deliberately carry no code version "
+                    "(reuse across revisions warns but proceeds)")
+    ap.add_argument("--no-record", action="store_true",
+                    help="do not append family rows to perf/parity.jsonl "
+                    "(smoke/dev runs; pair with --seed-bank <tmpfile>)")
     ap.add_argument("--hybrid-f32", action="store_true",
                     help="exact-grade (f32) SymmetricLayer matmuls for the "
                     "cifar10_hybrid family instead of the production bf16 "
@@ -781,12 +812,14 @@ def main():
             ref_accs = c0["ref_accs"][:args.seeds]
             ref_bn = cb["ref_accs"][:args.seeds] if args.bn_refresh else None
             ref_t = c0.get("ref_wall_s", c0.get("ref_wall", 0.0))
+            ref_prov = "cached"
             print(f"{name}: reusing ref_accs from {args.ref_accs_from} "
                   f"(fixture match)", flush=True)
         else:
             ref_accs, ref_bn, ref_t = train_reference(
                 fam, xs, ys, xt, yt, epochs, bs, args.seeds,
                 bn_refresh=args.bn_refresh, bank=bank)
+            ref_prov = "trained"
         quantum = 100.0 / xt.shape[0]  # one test image
         # Proper two-sample statistics (VERDICT r2 #3: "within spread" is
         # nearly unfalsifiable when one outlier seed widens the ptp); under
@@ -794,20 +827,24 @@ def main():
         row = build_row(name, epochs, bs, n, int(xt.shape[0]), args.seeds,
                         ref_accs, ours_accs, ref_t, ours_t,
                         args.match_init, 0, quantum)
+        row["ref_provenance"] = ref_prov
         if fam.get("ruthotto_f32"):
             row["variant"] = "ruthotto_f32"
         rows.append(row)
         print(json.dumps(row), flush=True)
-        _record_row(row)
+        if not args.no_record:
+            _record_row(row)
         if args.bn_refresh:
             row_bn = build_row(name, epochs, bs, n, int(xt.shape[0]),
                                args.seeds, ref_bn, ours_bn, ref_t, ours_t,
                                args.match_init, args.bn_refresh, quantum)
+            row_bn["ref_provenance"] = ref_prov
             if fam.get("ruthotto_f32"):
                 row_bn["variant"] = "ruthotto_f32"
             rows_bn.append(row_bn)
             print(json.dumps(row_bn), flush=True)
-            _record_row(row_bn)
+            if not args.no_record:
+                _record_row(row_bn)
 
     summary = _print_tables(rows, "reference-semantics")
     summary.update(_print_tables(rows_bn, f"bn-refresh-{args.bn_refresh}"))
