@@ -31,7 +31,12 @@ print(f"{preset.name}: {summ['total_params']:,} params "
       f"({summ['pde_params']:,} in PDE groups) -> {summ['output_shape']}")
 
 steps = dataset.steps_for_batch(preset.batch_size)
-trainer = Trainer(model, preset.make_train_config(epochs=epochs),
+# device_epoch: the whole epoch runs as ONE device dispatch (same
+# shuffle/rng streams as the host loop) — essential over a remote-tunnel
+# device where per-batch dispatches pay ~30 ms RTT each (CLAUDE.md)
+trainer = Trainer(model,
+                  preset.make_train_config(epochs=epochs,
+                                           device_epoch=True),
                   preset.make_schedule(steps),
                   augment_fn=build_augment_fn(preset.augment))
 state = trainer.init_state(jax.random.PRNGKey(0), None)
